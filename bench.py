@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: golden-angle whole-body-class gridding recon
+throughput on one chip.
+
+Reference numbers (BASELINE.md): CUDA TRON reconstructs the whole-body CMT
+dataset (nc=6, nro=512, npe1=20271, -u 0.4 -d 21 -a -G => 956 frames of
+256^2) in 3.28 s on the paper GPU = ~183 Msamples/s of gridding throughput
+(counting nz*nc*nro*npe1work coil-samples).  North-star target: >=100
+Msamples/s per TPU chip.
+
+This script times the same per-frame work (identical frame geometry and
+recon pipeline) over a frame subset sized to keep the benchmark short, and
+reports coil-samples/s.  Run on TPU (default platform); prints exactly one
+JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NFRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
+BACKEND = os.environ.get("BENCH_BACKEND", "auto")
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tron")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.recon import recon_frames
+
+    # whole-body frame geometry: nro=512, npe1work=204, slide=21 (RUNME3:10)
+    nc, nro, slide = 6, 512, 21
+    cfg = ReconConfig(
+        golden_angle=True, data_undersamp=0.4, prof_slide=slide, adjoint=True,
+        backend=BACKEND,
+    )
+    work = cfg.npe1work(nro, 10**9)  # 204
+    nz = NFRAMES
+    npe1 = work + (nz - 1) * slide
+
+    from tron_tpu.utils.xfer import to_device
+
+    rng = np.random.default_rng(0)
+    data = (
+        rng.standard_normal((nc, npe1, nro)) + 1j * rng.standard_normal((nc, npe1, nro))
+    ).astype(np.complex64)
+    d = to_device(data)
+
+    # warmup/compile
+    out = recon_frames(d, cfg, work, slide, nz)
+    out.block_until_ready()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = recon_frames(d, cfg, work, slide, nz)
+        out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    samples = nz * nc * nro * work
+    msps = samples / dt / 1e6
+    frames_s = nz / dt
+    baseline_msps = 183.0  # derived reference throughput (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "gridding_throughput_whole_body",
+                "value": round(msps, 2),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(msps / baseline_msps, 3),
+                "frames_per_s": round(frames_s, 2),
+                "frames": nz,
+                "seconds_per_run": round(dt, 3),
+                "platform": jax.devices()[0].platform,
+                "backend": BACKEND,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,44 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment pre-sets JAX_PLATFORMS=axon (a TPU tunnel) and the
+plugin overrides the env var, so the platform is forced via jax.config
+before any backend initialization."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # XLA_FLAGS fallback above
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def nrmse(a, b):
+    """Normalized RMSE, the reference's accuracy metric (src/rmse.m, lmse.m)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+
+def lmse(a, b):
+    """Least-squares-scaled NRMSE (scale-invariant), like src/lmse.m."""
+    a = np.asarray(a).ravel()
+    b = np.asarray(b).ravel()
+    s = np.vdot(a, b) / np.vdot(a, a)
+    return nrmse(s * a, b)

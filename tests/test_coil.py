@@ -1,0 +1,48 @@
+"""Coil combination tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tron_tpu.ops.coil import coil_combine_sos, coil_combine_walsh, _box_filter
+
+
+def test_sos_basic(rng):
+    x = (rng.standard_normal((4, 8, 8)) + 1j * rng.standard_normal((4, 8, 8))).astype(np.complex64)
+    got = np.asarray(coil_combine_sos(jnp.asarray(x)))
+    want = np.sqrt((np.abs(x) ** 2).sum(0))
+    np.testing.assert_allclose(got.real, want, rtol=1e-5)
+    np.testing.assert_allclose(got.imag, 0, atol=1e-6)
+
+
+def test_sos_single_channel_passthrough(rng):
+    x = (rng.standard_normal((1, 8, 8)) + 1j * rng.standard_normal((1, 8, 8))).astype(np.complex64)
+    got = np.asarray(coil_combine_sos(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, x[0])
+
+
+def test_box_filter_matches_naive(rng):
+    x = rng.standard_normal((6, 6)).astype(np.float32)
+    got = np.asarray(_box_filter(jnp.asarray(x), 1))
+    want = np.zeros_like(x)
+    for i in range(6):
+        for j in range(6):
+            want[i, j] = x[max(0, i - 1) : i + 2, max(0, j - 1) : j + 2].sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_walsh_recovers_rank1(rng):
+    """For coilimg = s_c * m(x,y) (rank-1), Walsh combine should recover
+    |s| * m up to a global phase, beating SoS's phase loss."""
+    n, C = 16, 4
+    m = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+    s = (rng.standard_normal(C) + 1j * rng.standard_normal(C)).astype(np.complex64)
+    coil = s[:, None, None] * m[None]
+    got = np.asarray(coil_combine_walsh(jnp.asarray(coil), npatch=1))
+    # compare |got| with ||s|| * |m|
+    np.testing.assert_allclose(np.abs(got), np.linalg.norm(s) * np.abs(m), rtol=2e-2, atol=1e-3)
+
+
+def test_walsh_single_channel(rng):
+    x = (rng.standard_normal((1, 8, 8)) + 1j * rng.standard_normal((1, 8, 8))).astype(np.complex64)
+    got = np.asarray(coil_combine_walsh(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, x[0])

@@ -1,0 +1,74 @@
+"""DTFT oracle self-tests: against brute force, FFT, adjointness, and the
+analytic Shepp-Logan k-space."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tron_tpu.oracle import dtft2, dtft2_adjoint
+from tron_tpu.phantom import shepp_logan, shepp_logan_kspace
+from tests.conftest import nrmse
+
+
+def test_dtft_matches_fft_on_grid_points(rng):
+    n = 16
+    img = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+    # on-integer-grid frequencies of the same-size transform: must equal
+    # the centered FFT exactly
+    u = np.arange(n) - n // 2
+    kx, ky = np.meshgrid(u, u, indexing="xy")
+    got = np.asarray(dtft2(jnp.asarray(img), kx.ravel().astype(np.float32),
+                           ky.ravel().astype(np.float32), n)).reshape(n, n)
+    want = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(img)))
+    # meshgrid xy: rows vary ky? build want indexed [ky, kx]
+    assert nrmse(got, want) < 1e-5
+
+
+def test_dtft_adjointness(rng):
+    n, m, nos = 8, 37, 16
+    img = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+    y = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype(np.complex64)
+    kx = rng.uniform(-nos / 2, nos / 2, m).astype(np.float32)
+    ky = rng.uniform(-nos / 2, nos / 2, m).astype(np.float32)
+    Ax = np.asarray(dtft2(jnp.asarray(img), kx, ky, nos))
+    Aty = np.asarray(dtft2_adjoint(jnp.asarray(y), kx, ky, n, nos))
+    # <y, A x> == <A^H y, x>
+    lhs = np.vdot(y, Ax)
+    rhs = np.vdot(Aty, img)
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+
+
+def test_batched_dims(rng):
+    n, m, nos = 8, 11, 16
+    img = rng.standard_normal((3, n, n)).astype(np.complex64)
+    kx = rng.uniform(-8, 8, m).astype(np.float32)
+    ky = rng.uniform(-8, 8, m).astype(np.float32)
+    out = np.asarray(dtft2(jnp.asarray(img), kx, ky, nos))
+    assert out.shape == (3, m)
+    for c in range(3):
+        single = np.asarray(dtft2(jnp.asarray(img[c]), kx, ky, nos))
+        np.testing.assert_allclose(out[c], single, rtol=1e-5, atol=1e-4)
+
+
+def test_shepp_logan_kspace_vs_dtft():
+    """Analytic ellipse FT should match the DTFT of the rasterized phantom to
+    within discretization error at low-to-mid frequencies."""
+    n = 64
+    nos = 2 * n
+    img = shepp_logan(n)
+    theta = np.linspace(0, np.pi, 12, endpoint=False)
+    r = np.arange(-24, 24, dtype=np.float64) * 2.0  # grid-unit radii of nos grid
+    kx = (r[None, :] * np.cos(theta)[:, None]).ravel()
+    ky = (r[None, :] * np.sin(theta)[:, None]).ravel()
+    # dtft frequencies are in nos units; analytic expects cycles/FOV of the
+    # original n-grid = k_nos / gridos
+    got = np.asarray(dtft2(jnp.asarray(img), kx.astype(np.float32), ky.astype(np.float32), nos))
+    want = shepp_logan_kspace(kx / 2.0, ky / 2.0, n)
+    assert nrmse(got, want) < 0.08  # rasterization error dominates
+
+
+def test_phantom_basic():
+    img = shepp_logan(64)
+    assert img.shape == (64, 64)
+    assert img.dtype == np.complex64
+    assert abs(img[32, 32] - (1.0 - 0.8)) < 1e-6  # center: e1 + e2 only
+    assert img[0, 0] == 0

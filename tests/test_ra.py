@@ -1,0 +1,100 @@
+"""Byte-level .ra format tests (golden fixtures built by hand from the spec
+at reference src/ra.h:38-72)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tron_tpu.io import ra_read, ra_write, ra_query, ra_convert, RA_MAGIC
+
+
+def _golden_bytes():
+    """Hand-assemble a tiny .ra file: complex64, dims (2, 3)."""
+    data = np.arange(6, dtype=np.complex64) * (1 + 2j)
+    # F-order on disk, dims[0]=2 fastest
+    arr = data.reshape(3, 2).T  # shape (2, 3), F-varying first dim
+    header = struct.pack(
+        "<8Q", RA_MAGIC, 0, 4, 8, arr.nbytes, 2, 2, 3
+    )
+    return header + arr.T.tobytes(), arr  # C-bytes of (3,2) == F-bytes of (2,3)
+
+
+def test_read_golden(tmp_path):
+    raw, expect = _golden_bytes()
+    p = tmp_path / "g.ra"
+    p.write_bytes(raw)
+    arr = ra_read(p)
+    assert arr.shape == (2, 3)
+    assert arr.dtype == np.complex64
+    np.testing.assert_array_equal(arr, expect)
+
+
+def test_write_matches_golden(tmp_path):
+    raw, expect = _golden_bytes()
+    p = tmp_path / "w.ra"
+    ra_write(expect, p)
+    assert p.read_bytes() == raw
+
+
+def test_roundtrip_dtypes(tmp_path, rng):
+    for dtype in [np.int32, np.uint16, np.float32, np.float64, np.complex64, np.float16]:
+        a = rng.standard_normal((4, 5, 6)).astype(dtype)
+        p = tmp_path / f"{np.dtype(dtype).name}.ra"
+        ra_write(a, p)
+        b = ra_read(p)
+        assert b.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_query(tmp_path, rng):
+    a = rng.standard_normal((1, 1, 8, 8, 1)).astype(np.complex64)
+    p = tmp_path / "q.ra"
+    ra_write(a, p)
+    h = ra_query(p)
+    assert h.dims == (1, 1, 8, 8, 1)
+    assert h.eltype == 4 and h.elbyte == 8
+    assert h.size == a.nbytes
+
+
+def test_mmap_read(tmp_path, rng):
+    a = rng.standard_normal((16, 3)).astype(np.float32)
+    p = tmp_path / "m.ra"
+    ra_write(a, p)
+    b = ra_read(p, mmap=True)
+    np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_bad_magic(tmp_path):
+    p = tmp_path / "bad.ra"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        ra_read(p)
+
+
+def test_unknown_flag_warns(tmp_path):
+    raw, _ = _golden_bytes()
+    mutated = bytearray(raw)
+    mutated[8] = 0x04  # set an unknown flag bit
+    p = tmp_path / "f.ra"
+    p.write_bytes(bytes(mutated))
+    with pytest.warns(UserWarning):
+        ra_read(p)
+
+
+def test_fp16_convert_bitexact():
+    # numpy's half conversion is the same ties-to-even algorithm the
+    # reference carries in src/float16.cu (itself lifted from numpy).
+    x = np.array([0.0, 1.0, 65504.0, 1e-8, 3.14159, -2.5], dtype=np.float32)
+    h = ra_convert(x, 3, 2)
+    assert h.dtype == np.float16
+    np.testing.assert_array_equal(h, x.astype(np.float16))
+
+
+def test_dims_relabel(tmp_path, rng):
+    a = rng.standard_normal(24).astype(np.float32)
+    p = tmp_path / "r.ra"
+    ra_write(a, p, dims=(2, 3, 4))
+    b = ra_read(p)
+    assert b.shape == (2, 3, 4)
+    np.testing.assert_array_equal(b.ravel(order="F"), a)

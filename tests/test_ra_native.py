@@ -1,0 +1,57 @@
+"""Native C++ .ra module: byte parity with the pure-Python oracle and
+bit-exact fp16 conversion."""
+
+import numpy as np
+import pytest
+
+from tron_tpu.io import ra_read as py_read, ra_write as py_write
+from tron_tpu.io import native
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+def test_native_write_matches_python_bytes(tmp_path, rng):
+    a = (rng.standard_normal((3, 4, 5)) + 1j * rng.standard_normal((3, 4, 5))).astype(
+        np.complex64
+    )
+    p1, p2 = tmp_path / "py.ra", tmp_path / "nat.ra"
+    py_write(a, p1)
+    native.ra_write(a, p2)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_native_read_roundtrip(tmp_path, rng):
+    for dtype in [np.float32, np.complex64, np.int16, np.float16]:
+        a = rng.standard_normal((7, 2)).astype(dtype)
+        p = tmp_path / f"{np.dtype(dtype).name}.ra"
+        py_write(a, p)
+        b = native.ra_read(p)
+        assert b.shape == a.shape and b.dtype == a.dtype
+        np.testing.assert_array_equal(a, b)
+        # and python can read native-written files
+        p2 = tmp_path / f"{np.dtype(dtype).name}_n.ra"
+        native.ra_write(a, p2)
+        np.testing.assert_array_equal(py_read(p2), a)
+
+
+def test_native_bad_magic(tmp_path):
+    p = tmp_path / "bad.ra"
+    p.write_bytes(b"\x01" * 64)
+    with pytest.raises(IOError):
+        native.ra_read(p)
+
+
+def test_fp16_bitexact_vs_numpy(rng):
+    x = np.concatenate(
+        [
+            rng.standard_normal(4096).astype(np.float32)
+            * np.float32(10.0) ** rng.integers(-8, 6, 4096).astype(np.float32),
+            np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 65504.0, 65520.0, 2**-24, 2**-25],
+                     dtype=np.float32),
+        ]
+    )
+    got = native.f32_to_f16(x)
+    want = x.astype(np.float16)
+    np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
+    back = native.f16_to_f32(want)
+    np.testing.assert_array_equal(back, want.astype(np.float32))

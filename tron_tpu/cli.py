@@ -1,0 +1,122 @@
+"""Command-line interface, flag-compatible with the reference binary so the
+RUNME pipeline scripts run unchanged (`/root/reference/src/tron.cu:790-874`).
+
+Usage: tron [-3aGhv] [-i n] [-k w] [-o os] [-u f] [-d slide] [-s skip]
+            [-B blocks] [-T threads] [-g gpu] in.ra [out.ra]
+
+-B/-T (CUDA launch geometry) are accepted and ignored; -g selects a JAX
+device index.  Dimension inference follows src/tron.cu:904-961: adjoint
+input is a 5-D .ra (nc, nt, nro, npe1, npe2) -> output (1, nt, nx, ny, nz)
+with nx = nro/2; forward input is an image stack -> (nc, nt, nro, npe1, npe2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from tron_tpu.config import ReconConfig
+from tron_tpu.io import ra_read, ra_write
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tron",
+        description="Trajectory-optimized Non-uniform Fast Fourier Transform (TPU)",
+    )
+    p.add_argument("-3", dest="koosh", action="store_true", help="3D stack-of-stars")
+    p.add_argument("-a", dest="adjoint", action="store_true", help="adjoint operation")
+    p.add_argument("-B", dest="blocks", type=int, default=4096, help="(ignored; CUDA compat)")
+    p.add_argument("-d", dest="prof_slide", type=int, default=0, help="profiles to slide between frames")
+    p.add_argument("-g", dest="device", type=int, default=0, help="device index")
+    p.add_argument("-G", dest="golden_angle", action="store_true", help="golden angle radial")
+    p.add_argument("-i", dest="niter", type=int, default=0, help="CGNR iterations")
+    p.add_argument("-k", dest="kernwidth", type=float, default=2.0, help="gridding kernel width")
+    p.add_argument("-o", dest="gridos", type=float, default=2.0, help="grid oversampling factor")
+    p.add_argument("-r", dest="nro", type=int, default=0, help="(unused, like the reference)")
+    p.add_argument("-s", dest="skip_angles", type=int, default=0, help="initial profiles to skip")
+    p.add_argument("-T", dest="threads", type=int, default=128, help="(ignored; CUDA compat)")
+    p.add_argument("-u", dest="data_undersamp", type=float, default=1.0, help="data undersampling factor")
+    p.add_argument("-v", dest="verbose", action="store_true", help="verbose output")
+    p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument(
+        "--scheme",
+        default=None,
+        choices=["linear_half", "linear_full"],
+        help="linear-angle convention override; the reference uses linear_half "
+        "for degrid and linear_full for grid (src/tron.cu:509 vs :555), so a "
+        "self-consistent degrid->grid roundtrip needs an explicit scheme",
+    )
+    p.add_argument("--sdc", default="ramlak", choices=["ramlak", "ideal"],
+                   help="density compensation: reference Ram-Lak or exact polar cells")
+    p.add_argument("infile")
+    p.add_argument("outfile", nargs="?", default="img_tron.ra")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    def vprint(*a):
+        if args.verbose:
+            print(*a, file=sys.stderr)
+
+    cfg = ReconConfig(
+        gridos=args.gridos,
+        kernwidth=args.kernwidth,
+        golden_angle=args.golden_angle,
+        skip_angles=args.skip_angles,
+        data_undersamp=args.data_undersamp,
+        prof_slide=args.prof_slide,
+        adjoint=args.adjoint,
+        niter=args.niter,
+        koosh=args.koosh,
+        backend=args.backend,
+        angle_scheme=args.scheme,
+        sdc=args.sdc,
+    )
+
+    vprint(f"Reading {args.infile}")
+    indata = ra_read(args.infile)
+    if indata.ndim != 5:
+        print(f"error: expected 5-D .ra input, got {indata.ndim}-D", file=sys.stderr)
+        return 1
+    vprint(f"indims = {indata.shape}")
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tron")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    try:
+        jax.config.update("jax_default_device", jax.devices()[args.device])
+    except (IndexError, RuntimeError):
+        pass
+
+    from tron_tpu.recon import recon_radial2d
+
+    start = time.perf_counter()
+    out = recon_radial2d(indata, cfg)
+    elapsed = time.perf_counter() - start
+    vprint(f"Elapsed time: {elapsed:.2f} s")
+
+    if cfg.adjoint:
+        # out: (nz, nt, ny, nx) -> .ra dims (1, nt, nx, ny, nz)
+        nz, nt, ny, nx = out.shape
+        arr = np.transpose(out[None], (0, 2, 4, 3, 1))
+        ra_write(arr.astype(np.complex64), args.outfile)
+    else:
+        # out: (nz, nc, nt, npe1, nro) -> .ra dims (nc, nt, nro, npe1, npe2=nz)
+        arr = np.transpose(out, (1, 2, 4, 3, 0))
+        ra_write(arr.astype(np.complex64), args.outfile)
+    vprint(f"Saved result to {args.outfile}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

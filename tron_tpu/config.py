@@ -1,0 +1,94 @@
+"""Reconstruction configuration.
+
+One frozen dataclass carries every knob of the reference CLI
+(`/root/reference/src/tron.cu:794-874`) plus the compile-time knobs that the
+reference bakes into headers (`src/tron.h:48-51`, `src/Makefile:3-6`), which
+here are just fields.  Being hashable, a ReconConfig can be a static argument
+to jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+class AngleScheme:
+    """Spoke-angle conventions.
+
+    The reference uses *different* linear-angle conventions in its grid and
+    degrid kernels (grid: pe*2*pi/npe + pi/2 at `src/tron.cu:509`; degrid:
+    pe*pi/npe at `src/tron.cu:555`) — a documented quirk.  Here the scheme is
+    explicit and the same scheme is used for both directions, so forward and
+    adjoint are true adjoints of each other (required for CGNR to converge).
+    """
+
+    GOLDEN = "golden"           # modang(PHI * (pe + skip)); PHI = pi/golden-ratio
+    LINEAR_HALF = "linear_half"  # pe * pi / npe           (reference degrid convention)
+    LINEAR_FULL = "linear_full"  # pe * 2*pi / npe + pi/2  (reference grid convention)
+
+
+# Golden angle increment in radians = pi / ((1+sqrt(5))/2) ~= 111.246 deg
+# (`src/tron.cu:90`, `src/RUNME4_others_grid_slcmt.m:119`).
+PHI = math.pi / ((1.0 + math.sqrt(5.0)) / 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconConfig:
+    # Geometry / kernel (reference defaults at src/tron.cu:66-69)
+    gridos: float = 2.0          # -o grid oversampling factor
+    kernwidth: float = 2.0       # -k kernel half-width in oversampled grid units
+    beatty: bool = False         # -DBEATTY_BETA variant of the KB shape
+
+    # Trajectory
+    golden_angle: bool = False   # -G
+    skip_angles: int = 0         # -s
+    angle_scheme: str | None = None  # override; default derived per direction
+
+    # Sliding-window framing (src/tron.cu:904-935)
+    data_undersamp: float = 1.0  # -u
+    prof_slide: int = 0          # -d (0 -> npe1work, i.e. non-overlapping frames)
+
+    # Pipeline
+    adjoint: bool = False        # -a
+    deapodize: bool = True       # on by default (src/tron.cu:87)
+    sdc: str = "ramlak"          # "ramlak" (reference parity, src/tron.cu:405-416)
+                                 # | "ideal" (exact polar cell areas, unit gain)
+    niter: int = 0               # -i CGNR iterations (0 = plain adjoint)
+    koosh: bool = False          # -3 (3D stack handling)
+    coil_combine: str = "sos"    # "sos" | "walsh" | "none"
+    walsh_npatch: int = 1
+
+    # Implementation knobs
+    backend: str = "auto"        # "auto" | "jnp" | "pallas"
+    compute_dtype: str = "float32"   # accumulation/weight dtype
+    matmul_dtype: str = "float32"    # contraction input dtype ("bfloat16" for speed)
+    pe_chunk: int = 8            # spokes processed per inner step in the jnp gridder
+
+    def scheme_for(self, direction: str) -> str:
+        """Angle scheme for 'forward' or 'adjoint', honoring the override.
+
+        Defaults reproduce the reference's per-direction conventions so its
+        datasets reconstruct identically; set ``angle_scheme`` to get a
+        self-consistent pair (as the tests and CGNR do).
+        """
+        if self.golden_angle:
+            return AngleScheme.GOLDEN
+        if self.angle_scheme is not None:
+            return self.angle_scheme
+        return (
+            AngleScheme.LINEAR_FULL if direction == "adjoint" else AngleScheme.LINEAR_HALF
+        )
+
+    def npe1work(self, nro: int, npe1: int) -> int:
+        """Profiles per frame (`src/tron.cu:916-919`)."""
+        cap = int(nro * self.data_undersamp)
+        return npe1 if npe1 <= cap else cap
+
+    def frame_geometry(self, nro: int, npe1: int) -> tuple[int, int, int]:
+        """(npe1work, prof_slide, nz) for a sliding-window recon
+        (`src/tron.cu:916-928`)."""
+        work = self.npe1work(nro, npe1)
+        slide = self.prof_slide if self.prof_slide > 0 else work
+        nz = 1 + (npe1 - work) // slide
+        return work, slide, nz

@@ -1,0 +1,152 @@
+"""ctypes binding to the native C++ RawArray library (tron_tpu/_native).
+
+The native module is the runtime-native parity component for the reference's
+ra.cu / float16.cu; it is built on demand with `make` (g++) and falls back
+transparently to the pure-Python implementation if unavailable.  Use
+``ensure_native()`` to build/load explicitly; ``available()`` to test.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from tron_tpu.io import ra as _py
+
+_DIR = Path(__file__).resolve().parent.parent / "_native"
+_LIB_PATH = _DIR / "libra_native.so"
+_lib = None
+
+
+class _RaNat(ctypes.Structure):
+    _fields_ = [
+        ("flags", ctypes.c_uint64),
+        ("eltype", ctypes.c_uint64),
+        ("elbyte", ctypes.c_uint64),
+        ("size", ctypes.c_uint64),
+        ("ndims", ctypes.c_uint64),
+        ("dims", ctypes.POINTER(ctypes.c_uint64)),
+        ("data", ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", str(_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def ensure_native() -> bool:
+    """Load (building if needed) the native library; returns availability."""
+    global _lib
+    if _lib is not None:
+        return True
+    if not _LIB_PATH.exists() and not _build():
+        return False
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return False
+    lib.ra_nat_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(_RaNat)]
+    lib.ra_nat_query.argtypes = [ctypes.c_char_p, ctypes.POINTER(_RaNat)]
+    lib.ra_nat_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(_RaNat)]
+    lib.ra_nat_free.argtypes = [ctypes.POINTER(_RaNat)]
+    lib.f32_to_f16.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_size_t,
+    ]
+    lib.f16_to_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_size_t,
+    ]
+    _lib = lib
+    return True
+
+
+def available() -> bool:
+    return ensure_native()
+
+
+_ERRORS = {-1: "I/O error", -2: "bad magic", -3: "unsupported flags", -4: "alloc failed"}
+
+
+def _check(rc: int, path):
+    if rc != 0:
+        raise IOError(f"ra_native: {_ERRORS.get(rc, rc)} for {path}")
+
+
+def ra_read(path, order: str = "F") -> np.ndarray:
+    if not ensure_native():
+        return _py.ra_read(path, order=order)
+    a = _RaNat()
+    _check(_lib.ra_nat_read(os.fspath(path).encode(), ctypes.byref(a)), path)
+    try:
+        dims = tuple(a.dims[i] for i in range(a.ndims))
+        dtype = _py.eltype_to_dtype(int(a.eltype), int(a.elbyte))
+        buf = ctypes.string_at(a.data, a.size)
+    finally:
+        _lib.ra_nat_free(ctypes.byref(a))
+    arr = np.frombuffer(buf, dtype=dtype).reshape(dims[::-1])
+    return arr.T if order == "F" else arr
+
+
+def ra_write(arr: np.ndarray, path, dims=None) -> None:
+    if not ensure_native():
+        return _py.ra_write(arr, path, dims=dims)
+    arr = np.asarray(arr)
+    eltype, elbyte = _py.dtype_to_eltype(arr.dtype)
+    if dims is None:
+        dims = arr.shape
+    payload = np.asfortranarray(arr).reshape(-1, order="F")
+    payload = np.ascontiguousarray(payload)
+    dims_arr = (ctypes.c_uint64 * len(dims))(*dims)
+    a = _RaNat(
+        flags=0,
+        eltype=eltype,
+        elbyte=elbyte,
+        size=payload.nbytes,
+        ndims=len(dims),
+        dims=dims_arr,
+        data=ctypes.cast(payload.ctypes.data, ctypes.POINTER(ctypes.c_uint8)),
+    )
+    _check(_lib.ra_nat_write(os.fspath(path).encode(), ctypes.byref(a)), path)
+
+
+def f32_to_f16(x: np.ndarray) -> np.ndarray:
+    """Bit-exact float32 -> float16 via the native converter."""
+    if not ensure_native():
+        return np.asarray(x, np.float32).astype(np.float16)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(x.shape, dtype=np.uint16)
+    _lib.f32_to_f16(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        x.size,
+    )
+    return out.view(np.float16)
+
+
+def f16_to_f32(x: np.ndarray) -> np.ndarray:
+    if not ensure_native():
+        return np.asarray(x, np.float16).astype(np.float32)
+    x = np.ascontiguousarray(x, dtype=np.float16).view(np.uint16)
+    out = np.empty(x.shape, dtype=np.float32)
+    _lib.f16_to_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.size,
+    )
+    return out

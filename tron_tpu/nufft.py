@@ -1,0 +1,101 @@
+"""NUFFT operator pipelines: adjoint (gridding recon) and forward (degrid).
+
+These are jit-able pure functions chaining the ops, mirroring the reference
+host pipelines:
+
+  adjoint  (`src/tron.cu:623-637`):
+      precompensate -> grid -> centered unnormalized IFFT -> crop -> deapod
+  forward  (`src/tron.cu:639-649`):
+      pad -> deapod -> centered FFT -> degrid
+
+Shapes: radial data is (..., npe, nro); images are (..., n, n) with n =
+nro // 2 (adjoint) and k-space grids are (nxos, nxos), nxos = n * gridos.
+Angles are passed explicitly (see trajectory.spoke_angles) so the pipelines
+are scheme-agnostic and vmap over sliding-window frames (where the golden-
+angle skip offset is a traced value).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tron_tpu.config import ReconConfig
+from tron_tpu.kernels.kb import kb_beta
+from tron_tpu.ops.degrid import degrid_radial2d
+from tron_tpu.ops.fftops import (
+    centered_fft2,
+    centered_ifft2_unnormalized,
+    crop_center,
+    deapodize,
+    pad_center,
+)
+from tron_tpu.ops.grid import grid_radial2d
+from tron_tpu.trajectory import ideal_sdc, ramlak_sdc
+
+
+def sdc_weights(cfg: ReconConfig, nro: int, npe: int) -> jnp.ndarray:
+    """Density-compensation weights per cfg.sdc."""
+    if cfg.sdc == "ideal":
+        return ideal_sdc(nro, npe)
+    return ramlak_sdc(nro, npe)
+
+
+def _grid_backend(cfg: ReconConfig):
+    if cfg.backend in ("pallas", "auto"):
+        try:
+            if jax.devices()[0].platform == "tpu" or cfg.backend == "pallas":
+                from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
+
+                return functools.partial(grid_radial2d_pallas, matmul_dtype=cfg.matmul_dtype)
+        except Exception:
+            if cfg.backend == "pallas":
+                raise
+    return functools.partial(grid_radial2d, pe_chunk=cfg.pe_chunk)
+
+
+def nufft_adjoint(
+    data: jnp.ndarray,
+    angles: jnp.ndarray,
+    cfg: ReconConfig,
+    apply_sdc: bool = True,
+) -> jnp.ndarray:
+    """Radial samples (..., npe, nro) -> coil images (..., n, n)."""
+    npe, nro = data.shape[-2:]
+    n = nro // 2
+    nxos = int(n * cfg.gridos)
+    beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
+
+    if apply_sdc:
+        data = data * sdc_weights(cfg, nro, npe).astype(data.dtype)
+    kgrid = _grid_backend(cfg)(data, angles, nxos, cfg.kernwidth, beta)
+    img = centered_ifft2_unnormalized(kgrid)
+    img = crop_center(img, n)
+    if cfg.deapodize:
+        img = deapodize(img, nxos, cfg.kernwidth, beta)
+    return img
+
+
+def nufft_forward(
+    img: jnp.ndarray,
+    angles: jnp.ndarray,
+    cfg: ReconConfig,
+    nro: int | None = None,
+) -> jnp.ndarray:
+    """Images (..., n, n) -> radial samples (..., npe, nro).
+
+    nro defaults to gridos * n (`src/tron.cu:945`).
+    """
+    n = img.shape[-1]
+    nxos = int(n * cfg.gridos)
+    if nro is None:
+        nro = nxos
+    beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
+
+    x = pad_center(img, nxos)
+    if cfg.deapodize:
+        x = deapodize(x, nxos, cfg.kernwidth, beta)
+    kgrid = centered_fft2(x)
+    return degrid_radial2d(kgrid, angles, nro, cfg.kernwidth, beta)

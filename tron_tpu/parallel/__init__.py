@@ -1,0 +1,3 @@
+from tron_tpu.parallel.mesh import make_mesh, recon_frames_sharded
+
+__all__ = ["make_mesh", "recon_frames_sharded"]

@@ -1,0 +1,94 @@
+"""Multi-chip sharding: frames x coils over a 2D device mesh.
+
+The scaling story (SURVEY.md §5.7-5.8): frames are the long axis of a
+golden-angle acquisition and are embarrassingly parallel -> pure data
+parallelism over the 'frame' mesh axis.  Coils shard over the 'coil' axis;
+the only cross-chip communication in the whole recon is the psum that
+completes the sum-of-squares coil combine — it rides ICI, everything else
+is chip-local (per-frame FFTs stay unsharded by design; at <=512^2 a
+sharded single-image FFT would just buy all-to-all transposes).
+
+The profile stream is replicated along 'frame' (windows overlap when
+prof_slide < npe1work, so a clean frame-shard of the input does not exist);
+at 500 MB for the largest reference dataset this is well within HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tron_tpu.config import ReconConfig
+from tron_tpu.nufft import nufft_adjoint
+from tron_tpu.solver import cgnr_radial2d
+from tron_tpu.trajectory import spoke_angles
+
+
+def make_mesh(
+    n_frame: int | None = None,
+    n_coil: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a ('frame', 'coil') mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_frame is None:
+        n_frame = devices.size // n_coil
+    assert n_frame * n_coil == devices.size, (n_frame, n_coil, devices.size)
+    return Mesh(devices.reshape(n_frame, n_coil), ("frame", "coil"))
+
+
+def recon_frames_sharded(
+    data: jnp.ndarray,
+    cfg: ReconConfig,
+    mesh: Mesh,
+    npe1work: int,
+    prof_slide: int,
+    nz: int,
+) -> jnp.ndarray:
+    """Sharded sliding-window recon. data: (nc, npe1, nro) -> (nz, n, n).
+
+    Frames are partitioned across the 'frame' axis, channels across 'coil';
+    each device reconstructs its local (frames x coils) block and the coil
+    combine finishes with a psum over 'coil'.
+    """
+    nc, npe1, nro = data.shape
+    nfr = mesh.shape["frame"]
+    ncs = mesh.shape["coil"]
+    assert nc % ncs == 0, f"nc={nc} must divide over coil axis {ncs}"
+    nzp = -(-nz // nfr) * nfr  # pad frame count to the mesh
+
+    def worker(d_local: jnp.ndarray) -> jnp.ndarray:
+        # d_local: (nc/ncs, npe1, nro); all frames' windows come from the
+        # replicated-in-'frame' profile stream via dynamic_slice.
+        fid = jax.lax.axis_index("frame")
+        per = nzp // nfr
+
+        def one(i):
+            z = fid * per + i
+            zc = jnp.minimum(z, nz - 1)  # padded tail recomputes last frame
+            pe0 = zc * prof_slide
+            win = jax.lax.dynamic_slice_in_dim(d_local, pe0, npe1work, axis=-2)
+            angles = spoke_angles(npe1work, cfg.scheme_for("adjoint"), cfg.skip_angles + pe0)
+            if cfg.niter > 0:
+                coilimg = cgnr_radial2d(win, angles, cfg)
+            else:
+                coilimg = nufft_adjoint(win, angles, cfg)
+            # partial SoS + psum over the coil shards
+            part = jnp.sum(jnp.abs(coilimg) ** 2, axis=0)
+            total = jax.lax.psum(part, "coil")
+            return jnp.sqrt(total).astype(coilimg.dtype)
+
+        return jax.lax.map(one, jnp.arange(per), batch_size=min(per, 8))
+
+    shard = jax.shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=P("coil", None, None),
+        out_specs=P("frame", None, None),
+    )
+    out = jax.jit(shard)(data)
+    return out[:nz]

@@ -1,0 +1,120 @@
+"""Reconstruction driver: sliding-window frame scheduling over radial data.
+
+TPU-native replacement for the reference's stream-pipelined frame loop
+(`/root/reference/src/tron.cu:726-786`): instead of round-robining frames
+onto CUDA streams, frames become a batch axis — extracted from the profile
+stream by dynamic-slice gather, reconstructed under one jit (lax.map over
+frame chunks so compile shape is frame-count independent), and sharded
+across chips via shard_map in `tron_tpu.parallel` (frames are embarrassingly
+parallel; the reference's MULTI_GPU mode had zero inter-device traffic,
+`src/tron.h:49`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tron_tpu.config import ReconConfig
+from tron_tpu.nufft import nufft_adjoint, nufft_forward
+from tron_tpu.ops.coil import coil_combine_sos, coil_combine_walsh
+from tron_tpu.solver import cgnr_radial2d
+from tron_tpu.trajectory import spoke_angles
+from tron_tpu.utils.xfer import to_device, to_host
+
+
+def reconstruct_frame(
+    data_window: jnp.ndarray,
+    skip: jnp.ndarray,
+    cfg: ReconConfig,
+) -> jnp.ndarray:
+    """One frame: (nc, npe1work, nro) -> combined image (n, n).
+
+    ``skip`` is the global profile offset of this frame (skip_angles +
+    z*prof_slide), a traced scalar so frames can vmap.
+    """
+    npe = data_window.shape[-2]
+    angles = spoke_angles(npe, cfg.scheme_for("adjoint"), skip)
+    if cfg.niter > 0:
+        coilimg = cgnr_radial2d(data_window, angles, cfg)
+    else:
+        coilimg = nufft_adjoint(data_window, angles, cfg)
+    if cfg.coil_combine == "walsh":
+        return coil_combine_walsh(coilimg, cfg.walsh_npatch)
+    if cfg.coil_combine == "sos":
+        return coil_combine_sos(coilimg, axis=0)
+    return coilimg
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "npe1work", "prof_slide", "nz"))
+def recon_frames(
+    data: jnp.ndarray,
+    cfg: ReconConfig,
+    npe1work: int,
+    prof_slide: int,
+    nz: int,
+) -> jnp.ndarray:
+    """All frames on one device. data: (nc, npe1, nro) -> (nz, n, n)."""
+
+    def one(z):
+        pe0 = z * prof_slide
+        win = jax.lax.dynamic_slice_in_dim(data, pe0, npe1work, axis=-2)
+        return reconstruct_frame(win, cfg.skip_angles + pe0, cfg)
+
+    return jax.lax.map(one, jnp.arange(nz), batch_size=min(nz, 8))
+
+
+def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
+    """Host-level recon mimicking the reference driver contract.
+
+    adjoint: indata (nc, nt, nro, npe1) [+ optional trailing npe2 axis]
+    -> images (nt, nx, ny, nz) ... returned as (nz, nt, n, n) C-ordered;
+    the CLI relabels to .ra dims (1, nt, nx, ny, nz).
+
+    forward: indata (nc, nt, nx, ny, nz) images -> (nc, nt, nro, npe1, nz).
+    """
+    # NB: all 5-D layout munging happens host-side in numpy; only dense
+    # <=4-D arrays are shipped to the device (the axon TPU client cannot
+    # transfer rank-5 arrays at all).
+    if cfg.adjoint:
+        nc, nt, nro, npe1 = indata.shape[:4]
+        work, slide, nz = cfg.frame_geometry(nro, npe1)
+        # ops layout: channels = nt*nc, spokes, readout
+        dnp = np.ascontiguousarray(
+            np.transpose(indata.reshape(nc, nt, nro, npe1, -1)[..., 0], (1, 0, 3, 2))
+        ).reshape(nt * nc, npe1, nro)
+        d = to_device(dnp)
+        if nt > 1:
+            # combine coils per repetition: vmap recon over nt
+            d = d.reshape(nt, nc, npe1, nro)
+            out = jax.vmap(
+                lambda dd: recon_frames(dd, cfg, work, slide, nz), in_axes=0, out_axes=1
+            )(d)  # (nz, nt, n, n)
+            return to_host(out)
+        out = recon_frames(d, cfg, work, slide, nz)  # (nz, n, n)
+        return to_host(out)[:, None]
+    else:
+        nc, nt, nx, ny, nz = indata.shape[:5]
+        nro = int(cfg.gridos * nx)
+        npe1 = int(cfg.data_undersamp * nro)
+        # (nc, nt, nx, ny, nz) -> (nz, nc*nt, ny, nx) host-side
+        imgs_np = np.ascontiguousarray(
+            np.transpose(np.asarray(indata), (4, 0, 1, 3, 2))
+        ).reshape(nz, nc * nt, ny, nx)
+        imgs = to_device(imgs_np)
+
+        scheme = cfg.scheme_for("forward")
+
+        @jax.jit
+        def fwd(stack):
+            def one(zimg):
+                angles = spoke_angles(npe1, scheme, cfg.skip_angles)
+                return nufft_forward(zimg, angles, cfg, nro=nro)
+
+            return jax.lax.map(one, stack, batch_size=min(nz, 4))
+
+        out = to_host(fwd(imgs))  # (nz, nc*nt, npe1, nro)
+        return out.reshape(nz, nc, nt, npe1, nro)

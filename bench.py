@@ -56,15 +56,19 @@ def main():
     ).astype(np.complex64)
     d = to_device(data)
 
-    # warmup/compile
-    out = recon_frames(d, cfg, work, slide, nz)
-    out.block_until_ready()
+    def run(x):
+        out = recon_frames(x, cfg, work, slide, nz)
+        # force completion with a scalar readback: block_until_ready alone
+        # does not reliably block through tunneled TPU clients
+        return float(jnp.sum(jnp.abs(out)))
+
+    run(d)  # warmup/compile (incl. the scaling multiply below)
+    run(d * 1.0001)
 
     reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = recon_frames(d, cfg, work, slide, nz)
-        out.block_until_ready()
+    for i in range(reps):
+        run(d * (1.0 + 0.0001 * i))
     dt = (time.perf_counter() - t0) / reps
 
     samples = nz * nc * nro * work

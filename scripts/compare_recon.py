@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Cross-implementation comparison harness — the rebuild of the reference's
+RUNME2/RUNME4-7 MATLAB scripts: reconstruct the same dataset with multiple
+methods, report NMSE/RMSE/SSIM tables, persist CSV + figures.
+
+Methods compared:
+  * tron-jnp     — XLA dense-einsum gridder
+  * tron-pallas  — Pallas MXU kernel (TPU)
+  * oracle       — exact weighted adjoint DTFT (the accuracy gold standard,
+                   playing IRT's role; small sizes only)
+
+Usage: python scripts/compare_recon.py [--n 64] [--npe 128] [--out output/]
+"""
+
+import argparse
+import csv
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--npe", type=int, default=128)
+    p.add_argument("--golden", action="store_true")
+    p.add_argument("--out", default="output")
+    p.add_argument("--skip-oracle", action="store_true")
+    args = p.parse_args()
+
+    from tron_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tron_tpu.config import AngleScheme, ReconConfig
+    from tron_tpu.metrics import nmse, nrmse, ssim
+    from tron_tpu.nufft import nufft_adjoint, nufft_forward, sdc_weights
+    from tron_tpu.oracle import dtft2_adjoint
+    from tron_tpu.phantom import shepp_logan
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+    from tron_tpu.viz import compare as viz_compare, mosaic
+
+    os.makedirs(args.out, exist_ok=True)
+    n, npe = args.n, args.npe
+    scheme = AngleScheme.GOLDEN if args.golden else AngleScheme.LINEAR_HALF
+    base = dict(angle_scheme=None if args.golden else scheme, golden_angle=args.golden)
+
+    img = shepp_logan(n)
+    angles = jnp.asarray(spoke_angles(npe, scheme, 0))
+    cfg0 = ReconConfig(**base)
+    nro = int(cfg0.gridos * n)
+    fwd = jax.jit(lambda x: nufft_forward(x, angles, cfg0, nro=nro))
+    data = fwd(to_device(img))
+
+    recons, times = {}, {}
+    for name, backend in [("tron-jnp", "jnp"), ("tron-pallas", "pallas")]:
+        cfg = ReconConfig(backend=backend, **base)
+        try:
+            f = jax.jit(lambda d, cfg=cfg: nufft_adjoint(d, angles, cfg))
+            r = to_host(f(data))  # compile
+            t0 = time.perf_counter()
+            r = to_host(f(data))
+            times[name] = time.perf_counter() - t0
+            recons[name] = r
+        except Exception as e:  # pallas unavailable off-TPU
+            print(f"# {name}: skipped ({type(e).__name__})")
+
+    if not args.skip_oracle and n <= 128:
+        kr = (np.arange(nro) / nro - 0.5) * nro
+        ang = np.asarray(angles)
+        kx = (kr[None, :] * np.cos(ang)[:, None]).ravel().astype(np.float32)
+        ky = (kr[None, :] * np.sin(ang)[:, None]).ravel().astype(np.float32)
+        w = np.asarray(sdc_weights(cfg0, nro, npe))
+        wd = np.asarray(to_host(data)) * w
+        wd[:, 0] = 0
+        t0 = time.perf_counter()
+        r = to_host(
+            dtft2_adjoint(to_device(wd.ravel()), jnp.asarray(kx), jnp.asarray(ky), n, nro)
+        ) / (nro * npe)
+        times["oracle"] = time.perf_counter() - t0
+        recons["oracle"] = r
+
+    ref = recons.get("oracle", recons.get("tron-jnp"))
+    rows = []
+    for name, r in recons.items():
+        rows.append(
+            {
+                "method": name,
+                "time_s": round(times[name], 4),
+                "nmse_vs_ref": round(nmse(r, ref), 8),
+                "nrmse_vs_ref": round(nrmse(r, ref), 8),
+                "ssim_vs_ref": round(ssim(np.abs(r), np.abs(ref)), 6),
+                "nrmse_vs_truth": round(nrmse(np.abs(r) / np.abs(r).max(), np.abs(img) / max(np.abs(img).max(), 1e-9)), 6),
+            }
+        )
+        print(rows[-1])
+
+    csv_path = os.path.join(args.out, f"compare_n{n}_npe{npe}.csv")
+    with open(csv_path, "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=rows[0].keys())
+        wtr.writeheader()
+        wtr.writerows(rows)
+    print(f"# wrote {csv_path}")
+
+    names = list(recons)
+    mosaic(
+        np.stack([np.abs(recons[k]) for k in names]),
+        os.path.join(args.out, f"recons_n{n}.png"),
+        title=" | ".join(names),
+    )
+    if len(names) >= 2:
+        viz_compare(
+            recons[names[0]], recons[names[-1]],
+            os.path.join(args.out, f"diff_{names[0]}_vs_{names[-1]}.png"),
+            labels=(names[0], names[-1]),
+        )
+    print("# figures written to", args.out)
+
+
+if __name__ == "__main__":
+    main()

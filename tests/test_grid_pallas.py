@@ -1,5 +1,8 @@
-"""Pallas gridding kernel vs the jnp reference implementation (interpret
-mode, so it runs on the CPU test mesh; the same kernel compiles for TPU)."""
+"""Pallas gridding kernels vs the jnp reference implementation (interpret
+mode, so they run on the CPU test mesh; the same kernels compile for TPU).
+
+Covers both backends: the dense-range kernel (single tile) and the
+segmented + angle-culled kernel (multi-tile geometries)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -14,7 +17,7 @@ from tests.conftest import nrmse
 grid_pallas = pytest.importorskip("tron_tpu.ops.grid_pallas")
 
 
-def _case(rng, C, npe, nxos, nro, scheme=AngleScheme.GOLDEN, skip=5):
+def _case(rng, C, npe, nro, scheme=AngleScheme.GOLDEN, skip=5):
     data = (
         rng.standard_normal((C, npe, nro)) + 1j * rng.standard_normal((C, npe, nro))
     ).astype(np.complex64)
@@ -22,47 +25,69 @@ def _case(rng, C, npe, nxos, nro, scheme=AngleScheme.GOLDEN, skip=5):
     return jnp.asarray(data), angles
 
 
-@pytest.mark.parametrize("C,npe,n,tile", [(2, 12, 128, 128), (1, 9, 256, 128)])
-def test_pallas_matches_jnp(rng, C, npe, n, tile):
-    nxos = nro = n
-    kw = 2.0
-    beta = kb_beta(kw, 2.0)
-    data, angles = _case(rng, C, npe, nxos, nro)
-    want = np.asarray(grid_radial2d(data, angles, nxos, kw, beta))
-    got = np.asarray(
+def _run(data, angles, nxos, tile, **kw):
+    return np.asarray(
         grid_pallas.grid_radial2d_pallas(
-            data, angles, nxos, kw, beta, pe_chunk=4, tile=tile, interpret=True
+            data, angles, nxos, 2.0, kb_beta(2.0, 2.0), tile=tile,
+            matmul_dtype=kw.pop("matmul_dtype", "float32"), interpret=True, **kw
         )
     )
-    assert got.shape == want.shape
-    err = nrmse(got, want)
-    assert err < 1e-5, f"pallas vs jnp nrmse={err:.2e}"
 
 
-def test_pallas_bf16_accuracy(rng):
+def test_full_kernel_matches_jnp(rng):
     nxos = nro = 128
-    kw = 2.0
-    beta = kb_beta(kw, 2.0)
-    data, angles = _case(rng, 2, 16, nxos, nro)
-    want = np.asarray(grid_radial2d(data, angles, nxos, kw, beta))
-    got = np.asarray(
-        grid_pallas.grid_radial2d_pallas(
-            data, angles, nxos, kw, beta, pe_chunk=8, tile=128,
-            matmul_dtype="bfloat16", interpret=True,
-        )
-    )
+    data, angles = _case(rng, 2, 12, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    got = _run(data, angles, nxos, tile=128, pe_chunk=4)
     err = nrmse(got, want)
-    assert err < 2e-2, f"bf16 pallas vs fp32 jnp nrmse={err:.2e}"
+    assert err < 1e-5, f"full kernel vs jnp nrmse={err:.2e}"
 
 
-def test_pallas_2d_input(rng):
+@pytest.mark.parametrize("C,npe,nxos", [(2, 12, 256), (1, 23, 256), (1, 9, 512), (2, 7, 384)])
+def test_seg_kernel_matches_jnp(rng, C, npe, nxos):
+    nro = nxos
+    data, angles = _case(rng, C, npe, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    got = _run(data, angles, nxos, tile=128, pe_chunk=4)
+    err = nrmse(got, want)
+    assert err < 1e-5, f"seg kernel vs jnp nrmse={err:.2e}"
+
+
+def test_seg_kernel_linear_angles(rng):
+    """Linear half-scheme spokes exercise the culling wedges differently."""
+    nxos = nro = 256
+    data, angles = _case(rng, 1, 16, nro, scheme=AngleScheme.LINEAR_HALF, skip=0)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    got = _run(data, angles, nxos, tile=128, pe_chunk=8)
+    assert nrmse(got, want) < 1e-5
+
+
+def test_bf16_accuracy(rng):
     nxos = nro = 128
-    beta = kb_beta(2.0, 2.0)
-    data, angles = _case(rng, 1, 8, nxos, nro)
+    data, angles = _case(rng, 2, 16, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    got = _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bfloat16")
+    err = nrmse(got, want)
+    assert err < 2e-2, f"bf16 vs fp32 jnp nrmse={err:.2e}"
+
+
+def test_2d_input(rng):
+    nxos = nro = 128
+    data, angles = _case(rng, 1, 8, nro)
     got = np.asarray(
         grid_pallas.grid_radial2d_pallas(
-            data[0], angles, nxos, 2.0, beta, pe_chunk=8, interpret=True
+            data[0], angles, nxos, 2.0, kb_beta(2.0, 2.0), pe_chunk=8,
+            matmul_dtype="float32", interpret=True,
         )
     )
-    want = np.asarray(grid_radial2d(data[0], angles, nxos, 2.0, beta))
+    want = np.asarray(grid_radial2d(data[0], angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    assert nrmse(got, want) < 1e-5
+
+
+def test_small_grid_dispatch(rng):
+    """nxos < tile falls back to the dense kernel with a shrunken tile."""
+    nxos = nro = 64
+    data, angles = _case(rng, 1, 8, nro)
+    got = _run(data, angles, nxos, tile=128, pe_chunk=4)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
     assert nrmse(got, want) < 1e-5

@@ -88,11 +88,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tron")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tron_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     try:
         jax.config.update("jax_default_device", jax.devices()[args.device])
     except (IndexError, RuntimeError):

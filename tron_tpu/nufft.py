@@ -43,13 +43,25 @@ def sdc_weights(cfg: ReconConfig, nro: int, npe: int) -> jnp.ndarray:
     return ramlak_sdc(nro, npe)
 
 
+def _on_tpu() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return "tpu" in (dev.platform or "").lower() or "TPU" in getattr(
+            dev, "device_kind", ""
+        )
+    except Exception:
+        return False
+
+
 def _grid_backend(cfg: ReconConfig):
     if cfg.backend in ("pallas", "auto"):
         try:
-            if jax.devices()[0].platform == "tpu" or cfg.backend == "pallas":
+            if cfg.backend == "pallas" or _on_tpu():
                 from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
 
-                return functools.partial(grid_radial2d_pallas, matmul_dtype=cfg.matmul_dtype)
+                return functools.partial(
+                    grid_radial2d_pallas, matmul_dtype=cfg.matmul_dtype
+                )
         except Exception:
             if cfg.backend == "pallas":
                 raise
@@ -70,7 +82,11 @@ def nufft_adjoint(
 
     if apply_sdc:
         data = data * sdc_weights(cfg, nro, npe).astype(data.dtype)
-    kgrid = _grid_backend(cfg)(data, angles, nxos, cfg.kernwidth, beta)
+    # flatten batch dims to one channel axis (the Pallas kernel is 3-D)
+    batch = data.shape[:-2]
+    flat = data.reshape((-1,) + data.shape[-2:])
+    kgrid = _grid_backend(cfg)(flat, angles, nxos, cfg.kernwidth, beta)
+    kgrid = kgrid.reshape(batch + (nxos, nxos))
     img = centered_ifft2_unnormalized(kgrid)
     img = crop_center(img, n)
     if cfg.deapodize:

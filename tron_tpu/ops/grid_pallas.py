@@ -38,6 +38,35 @@ from jax.experimental.pallas import tpu as pltpu
 from tron_tpu.ops.grid import _radius_map
 
 
+def _kb_taylor_coeffs(kernwidth: float, beta: float, nterms: int = 14):
+    """Static coefficients of KB(x) = 0.5/kw * I0(beta*sqrt(q)), q = 1-(x/kw)^2,
+    as a plain polynomial in q: I0(beta*sqrt(q)) = sum_k (beta^2 q / 4)^k / (k!)^2.
+
+    The series in q is entire and, for beta <= ~10 (kernel widths <= 2.2),
+    14 terms give < 1e-5 relative error — cheaper than the rational I0
+    (no division) and exactly what the VPU wants: a pure Horner chain.
+    """
+    import math
+
+    c = []
+    f = 0.5 / kernwidth
+    for k in range(nterms):
+        c.append(f * (beta * beta / 4.0) ** k / math.factorial(k) ** 2)
+    return tuple(c)
+
+
+def _kb_poly(x2: jnp.ndarray, kernwidth: float, coeffs) -> jnp.ndarray:
+    """KB window via the static Taylor-in-q polynomial (see above)."""
+    r = x2 * (1.0 / kernwidth)
+    q = 1.0 - r * r
+    inside = q > 0.0
+    qc = jnp.where(inside, q, 0.0)
+    acc = jnp.full_like(qc, coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * qc + c
+    return jnp.where(inside, acc, 0.0)
+
+
 def _kb_inline(x2: jnp.ndarray, kernwidth: float, beta: float) -> jnp.ndarray:
     """KB window on a 2D array, inlined for the VPU (fp32).
 
@@ -48,7 +77,9 @@ def _kb_inline(x2: jnp.ndarray, kernwidth: float, beta: float) -> jnp.ndarray:
     r = x2 * (1.0 / kernwidth)
     q = 1.0 - r * r
     inside = q > 0.0
-    z = (beta * beta) * jnp.where(inside, q, 0.0)  # (beta*sqrt(q))^2
+    # I0's argument is beta*sqrt(q); the rational I0 approximation only uses
+    # its square, so the sqrt cancels: z = beta^2 * q.
+    z = (beta * beta) * jnp.where(inside, q, 0.0)
     num = jnp.full_like(z, 0.210580722890567e-22)
     for c in (
         0.380715242345326e-19, 0.479440257548300e-16, 0.435125971262668e-13,
@@ -62,6 +93,137 @@ def _kb_inline(x2: jnp.ndarray, kernwidth: float, beta: float) -> jnp.ndarray:
            - 0.144048298227235e10)
     i0 = -num / den
     return jnp.where(inside, (0.5 / kernwidth) * i0, 0.0)
+
+
+def _tile_segments(nxos: int, tile: int, kernwidth: float):
+    """Static per-(tile, sign) radius segments.
+
+    Tile (i, j) of the oversampled grid can only receive energy from samples
+    whose |radius| lies in [Rmin - kw, Rmax + kw], where Rmin/Rmax are the
+    min/max distance of the tile's pixels from k-space center — the same
+    trajectory-specialization insight as the reference's per-point band
+    (`src/tron.cu:501-502`), lifted to tile granularity where it becomes
+    *static geometry*: no dynamic control flow, just a precomputed slice
+    start per (tile, sign) and one fixed segment length.
+
+    Returns (seg_start[tiles, tiles, 2] int32 in rr-index space,
+    nonempty[tiles, tiles, 2] bool, seg_len int).
+    """
+    import numpy as np
+
+    h = nxos // 2
+    tiles = nxos // tile
+    bands = np.zeros((tiles, tiles, 2), np.int32)  # per-tile [lo, hi]
+    nonempty = np.zeros((tiles, tiles, 2), bool)
+    for i in range(tiles):
+        y0, y1 = i * tile - h, (i + 1) * tile - 1 - h
+        for j in range(tiles):
+            x0, x1 = j * tile - h, (j + 1) * tile - 1 - h
+            # min/max distance from origin to the tile rectangle
+            dx = 0.0 if x0 <= 0 <= x1 else min(abs(x0), abs(x1))
+            dy = 0.0 if y0 <= 0 <= y1 else min(abs(y0), abs(y1))
+            rmin = (dx * dx + dy * dy) ** 0.5
+            rmax = max(
+                (xx * xx + yy * yy) ** 0.5 for xx in (x0, x1) for yy in (y0, y1)
+            )
+            lo = max(0, int(np.floor(rmin - kernwidth)) - 1)
+            hi = min(h - 1, int(np.ceil(rmax + kernwidth)) + 1)
+            bands[i, j] = (lo, hi)
+            # sign 0 covers radii [lo, hi] (includes r == 0 exactly once);
+            # sign 1 covers radii [-hi, -max(lo, 1)] (never r == 0)
+            nonempty[i, j, 0] = lo <= hi
+            nonempty[i, j, 1] = hi >= max(lo, 1)
+    seg_len = min(h, -(-int((bands[..., 1] - bands[..., 0]).max() + 1) // 8) * 8)
+    # Padding may only add out-of-band rows: |r| outside [lo, hi] has zero
+    # KB weight for every pixel of the tile, and the r == -h row is zeroed
+    # in the sample prep.
+    starts = np.zeros((tiles, tiles, 2), np.int32)
+    for i in range(tiles):
+        for j in range(tiles):
+            lo, hi = int(bands[i, j, 0]), int(bands[i, j, 1])
+            # positive slice: start in [h, nxos-seg]; extras are r in
+            # [start-h, lo) or (hi, start-h+seg), all out of band
+            starts[i, j, 0] = min(max(lo + h, h), nxos - seg_len)
+            # negative slice: cover idx [h-hi, h-max(lo,1)]; may extend down
+            # past -hi and up to r == lo-1 (or -1 when lo == 0)
+            end_max = h + lo - 1 if lo >= 1 else h - 1
+            starts[i, j, 1] = max(0, min(h - hi, end_max - seg_len + 1))
+    return starts, nonempty, seg_len
+
+
+def _seg_kernel(
+    seg_ref,    # scalar prefetch: (tiles*tiles*2,) i32 segment starts
+    cnt_ref,    # scalar prefetch: (tiles*tiles*2*nch,) i32 hits per chunk
+    hl_ref,     # scalar prefetch: (tiles*tiles*2*nch*PE_CHUNK,) i32 hit slots
+    ct_ref,     # scalar prefetch: (npe',) f32 cos(theta)
+    st_ref,     # scalar prefetch: (npe',) f32 sin(theta)
+    s_ref,      # (PE_CHUNK, nR, C2): channel-expanded samples
+    out_ref,    # (TX, C2, TY) f32 output block (x-major; transposed by XLA)
+    acc_ref,    # (TX, C2*TY) f32 scratch
+    *,
+    pe_chunk: int,
+    nxos: int,
+    seg: int,
+    tiles: int,
+    ty: int,
+    tx: int,
+    c2: int,
+    kernwidth: float,
+    kb_coeffs,
+    scale: float,
+    mm_dtype,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    s = pl.program_id(2)
+    k = pl.program_id(3)
+    nch = pl.num_programs(3)
+
+    @pl.when((k == 0) & (s == 0))
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    site = (i * tiles + j) * 2 + s
+    cnt = cnt_ref[site * nch + k]
+
+    half = nxos // 2
+    seg0 = seg_ref[site]
+    # segment radii on the sublane axis, pixel coordinates on lanes
+    rseg = (
+        jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0) + seg0 - half
+    ).astype(jnp.float32)                                   # (SEG, 1)
+    X = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
+    ).astype(jnp.float32)
+    Y = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
+    ).astype(jnp.float32)
+
+    def spoke(p, _):
+        # hit-compacted iteration: the host prepacked, per (tile, sign,
+        # chunk), the list of spokes whose wedge intersects this tile's
+        # sector, so every loop trip does productive work and the loop
+        # bound is the true hit count (a dynamic fori_loop bound).
+        slot = hl_ref[(site * nch + k) * pe_chunk + p]
+        ct = ct_ref[k * pe_chunk + slot]
+        st = st_ref[k * pe_chunk + slot]
+        A = _kb_poly(rseg * ct - X, kernwidth, kb_coeffs)   # (SEG, TX)
+        B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
+        sp = s_ref[slot, pl.ds(seg0, seg), :]               # (SEG, C2)
+        U = (sp[:, :, None] * B[:, None, :]).reshape(seg, c2 * ty)
+        acc_ref[...] += jax.lax.dot_general(
+            A.astype(mm_dtype),
+            U.astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, cnt, spoke, 0)
+
+    @pl.when((k == nch - 1) & (s == 1))
+    def _done():
+        out_ref[...] = acc_ref[...].reshape(tx, c2, ty) * scale
 
 
 def _grid_kernel(
@@ -121,13 +283,176 @@ def _grid_kernel(
         out_ref[...] = acc_ref[...].reshape(c2, ty, tx) * scale
 
 
+def grid_radial2d_pallas(
+    data: jnp.ndarray,
+    angles: jnp.ndarray,
+    nxos: int,
+    kernwidth: float,
+    beta: float,
+    pe_chunk: int = 8,
+    tile: int = 128,
+    matmul_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Adjoint gridding, Pallas TPU backend (complex in/out).
+
+    data: (C, npe, nro) complex64 (or (npe, nro)); angles: (npe,).
+    Returns (C, nxos, nxos) complex64.  Dispatches to the segmented/culled
+    kernel when the geometry allows tiling, else the dense-range kernel.
+    """
+    if data.ndim == 2:
+        return grid_radial2d_pallas(
+            data[None], angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+            interpret,
+        )[0]
+    if nxos % tile == 0 and nxos // tile >= 2:
+        return _pallas_seg_impl(
+            data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+            interpret,
+        )
+    return _pallas_full_impl(
+        data, angles, nxos, kernwidth, beta, pe_chunk, min(tile, nxos), matmul_dtype,
+        interpret,
+    )
+
+
+def _prep_samples(data, nxos, pe_chunk, angles, layout):
+    """Shared prep: resample to grid radii, channel-expand, sort spokes by
+    angle (so spoke chunks are angularly coherent wedges for culling), pad
+    to a chunk multiple.  Returns (s2, angles_sorted_padded, nch, C, npe)."""
+    C, npe, nro = data.shape
+    rr, ridx, valid = _radius_map(nxos, nro)
+    ds = jnp.take(data, ridx, axis=-1) * valid.astype(data.dtype)  # (C, npe, nR)
+
+    from tron_tpu.trajectory import modang
+
+    order = jnp.argsort(modang(angles))
+    ds = ds[:, order]
+    angles = angles[order]
+
+    c2 = 2 * C
+    s2 = jnp.stack([ds.real, ds.imag], axis=1).reshape(c2, npe, nxos)
+    nch = -(-npe // pe_chunk)
+    pad = nch * pe_chunk - npe
+    if pad:
+        s2 = jnp.pad(s2, ((0, 0), (0, pad), (0, 0)))
+        angles = jnp.pad(angles, (0, pad), mode="edge")  # no new wedges
+    if layout == "pcr":
+        s2 = jnp.transpose(s2, (1, 0, 2))  # (npe', c2, nR)
+    else:
+        s2 = jnp.transpose(s2, (1, 2, 0))  # (npe', nR, c2)
+    return s2, angles, nch, C, npe
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
+        "cull",
+    ),
+)
+def _pallas_seg_impl(
+    data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
+    cull="geom",  # "geom" | "all" (no angular culling) | "none" (debug: skip all)
+):
+    import numpy as np
+
+    C, npe, nro = data.shape
+    c2 = 2 * C
+    tiles = nxos // tile
+    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
+
+
+    s2, angles_s, nch, _, _ = _prep_samples(data, nxos, pe_chunk, angles, "prc")
+    mm_dtype = jnp.bfloat16 if matmul_dtype == "bfloat16" else jnp.float32
+    s2 = s2.astype(jnp.float32)
+    ct = jnp.cos(angles_s).astype(jnp.float32)
+    st = jnp.sin(angles_s).astype(jnp.float32)
+
+    # angular culling flags: does any spoke of chunk k hit (tile, sign)?
+    h = nxos // 2
+    cy, cx = np.meshgrid(
+        (np.arange(tiles) + 0.5) * tile - h, (np.arange(tiles) + 0.5) * tile - h,
+        indexing="ij",
+    )
+    dist = np.hypot(cx, cy).ravel()
+    phi0 = np.arctan2(cy, cx).ravel()
+    margin = tile / np.sqrt(2.0) + kernwidth + 2.0
+    delta = np.where(dist <= margin, np.pi, np.arcsin(np.minimum(1.0, margin / np.maximum(dist, 1e-6))))
+    theta = jnp.mod(angles_s, 2 * jnp.pi)  # (npe',)
+
+    def angdist(a, b):
+        d = jnp.mod(a - b + jnp.pi, 2 * jnp.pi) - jnp.pi
+        return jnp.abs(d)
+
+    phi0_j = jnp.asarray(phi0, jnp.float32)[:, None]
+    delta_j = jnp.asarray(delta, jnp.float32)[:, None]
+    hit_pos = angdist(theta[None, :], phi0_j) <= delta_j            # (T2, npe')
+    hit_neg = angdist(theta[None, :], phi0_j + jnp.pi) <= delta_j
+    hits = jnp.stack([hit_pos, hit_neg], axis=1)                    # (T2, 2, npe')
+    hits = hits.reshape(tiles * tiles, 2, nch, pe_chunk)
+    if cull == "all":
+        hits = jnp.ones_like(hits)
+    hits = hits & jnp.asarray(nonempty.reshape(tiles * tiles, 2, 1, 1))
+    if cull == "none":
+        hits = jnp.zeros_like(hits)
+    # compact each chunk's hitting spokes to the front (stable argsort of
+    # the miss mask) and record per-chunk hit counts — the kernel runs a
+    # dynamic-bound loop over exactly these
+    hitlist = jnp.argsort(~hits, axis=-1, stable=True).astype(jnp.int32)
+    counts = hits.sum(-1).astype(jnp.int32)
+    seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
+
+    kern = functools.partial(
+        _seg_kernel,
+        pe_chunk=pe_chunk,
+        nxos=nxos,
+        seg=seg,
+        tiles=tiles,
+        ty=tile,
+        tx=tile,
+        c2=c2,
+        kernwidth=kernwidth,
+        kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
+        scale=1.0 / (nxos * npe),
+        mm_dtype=mm_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(tiles, tiles, 2, nch),
+        in_specs=[
+            pl.BlockSpec((pe_chunk, nxos, c2), lambda i, j, s, k, *_: (k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, c2, tile), lambda i, j, s, k, *_: (j, 0, i)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, c2 * tile), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nxos, c2, nxos), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seg_starts, counts.reshape(-1), hitlist.reshape(-1), ct, st, s2)
+
+    out = jnp.transpose(out, (1, 2, 0))  # (c2, y, x)
+    out = out.reshape(C, 2, nxos, nxos)
+    return (out[:, 0] + 1j * out[:, 1]).astype(data.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
     ),
 )
-def grid_radial2d_pallas(
+def _pallas_full_impl(
     data: jnp.ndarray,
     angles: jnp.ndarray,
     nxos: int,
@@ -138,17 +463,7 @@ def grid_radial2d_pallas(
     matmul_dtype: str = "float32",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for ops.grid.grid_radial2d (complex in/out).
-
-    data: (C, npe, nro) complex64 (leading channel axis required; use
-    reshape(-1, npe, nro) for extra batch dims); angles: (npe,).
-    Returns (C, nxos, nxos) complex64.
-    """
-    if data.ndim == 2:
-        return grid_radial2d_pallas(
-            data[None], angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret,
-        )[0]
+    """Dense-radius-range variant (any geometry)."""
     C, npe, nro = data.shape
     c2 = 2 * C
 

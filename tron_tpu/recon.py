@@ -12,6 +12,7 @@ parallel; the reference's MULTI_GPU mode had zero inter-device traffic,
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -79,6 +80,8 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
     # NB: all 5-D layout munging happens host-side in numpy; only dense
     # <=4-D arrays are shipped to the device (the axon TPU client cannot
     # transfer rank-5 arrays at all).
+    if cfg.koosh:
+        return _recon_stack_of_stars(indata, cfg)
     if cfg.adjoint:
         nc, nt, nro, npe1 = indata.shape[:4]
         work, slide, nz = cfg.frame_geometry(nro, npe1)
@@ -118,3 +121,39 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
 
         out = to_host(fwd(imgs))  # (nz, nc*nt, npe1, nro)
         return out.reshape(nz, nc, nt, npe1, nro)
+
+
+def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
+    """3D stack-of-stars (`-3`): 2D radial in-plane x Cartesian phase
+    encoding along kz.
+
+    The reference's -3 flag only relabels dimensions (src/tron.cu:922-927 —
+    no 3D kernel exists); here it gets real semantics: the kz axis (npe2) is
+    a centered Cartesian FFT axis, decoupled from the in-plane NUFFT, so the
+    adjoint is ifft_z then per-slice 2D gridding recon and the forward is
+    per-slice degrid then fft_z.  Slices batch over the frame machinery
+    (they are embarrassingly parallel, like frames).
+    """
+    cfg2 = dataclasses.replace(cfg, koosh=False, prof_slide=0)
+    if cfg.adjoint:
+        nc, nt, nro, npe1, npe2 = indata.shape[:5]
+        d = np.asarray(indata)
+        # centered inverse FFT along kz (unnormalized, cuFFT-style)
+        sl = np.fft.fftshift(
+            np.fft.ifft(np.fft.ifftshift(d, axes=4), axis=4), axes=4
+        ) * npe2
+        outs = [
+            recon_radial2d(np.ascontiguousarray(sl[..., z])[..., None], cfg2)
+            for z in range(npe2)
+        ]
+        return np.concatenate(outs, axis=0)  # (npe2, nt, n, n)
+    else:
+        nc, nt, nx, ny, nz = indata.shape[:5]
+        outs = [
+            recon_radial2d(np.ascontiguousarray(indata[..., z : z + 1]), cfg2)
+            for z in range(nz)
+        ]
+        data = np.concatenate(outs, axis=0)  # (nz, nc, nt, npe1, nro)
+        data = np.moveaxis(data, 0, -1)      # (nc, nt, npe1, nro, nz)
+        kz = np.fft.fftshift(np.fft.fft(np.fft.ifftshift(data, axes=4), axis=4), axes=4)
+        return np.moveaxis(kz, -1, 0)        # back to (nz=npe2, nc, nt, npe1, nro)

@@ -21,7 +21,9 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=512, help="spokes per forward call")
     args = p.parse_args(argv)
 
-    import jax.numpy as jnp
+    from tron_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from tron_tpu.config import ReconConfig
     from tron_tpu.io import ra_write
@@ -37,12 +39,20 @@ def main(argv=None):
     maps = birdcage_sensitivities(n, args.nc)
     coilimg = to_device(maps * img[None])  # (nc, n, n)
 
+    import functools
+
+    import jax
+
     cfg = ReconConfig(golden_angle=True)
+    chunk = min(args.chunk, args.npe)
+    # one jitted forward reused across equal-shaped chunks (eager op-by-op
+    # execution is pathologically slow through tunneled TPU backends)
+    fwd = jax.jit(functools.partial(nufft_forward, cfg=cfg, nro=args.nro))
     chunks = []
-    for pe0 in range(0, args.npe, args.chunk):
-        npe = min(args.chunk, args.npe - pe0)
-        angles = spoke_angles(npe, AngleScheme.GOLDEN, pe0)
-        chunks.append(to_host(nufft_forward(coilimg, angles, cfg, nro=args.nro)))
+    for pe0 in range(0, args.npe, chunk):
+        npe = min(chunk, args.npe - pe0)
+        angles = spoke_angles(chunk, AngleScheme.GOLDEN, pe0)
+        chunks.append(to_host(fwd(coilimg, angles))[:, :npe])
     data = np.concatenate(chunks, axis=1)  # (nc, npe, nro)
 
     # .ra dims (nc, nt, nro, npe1, npe2) — nc fastest

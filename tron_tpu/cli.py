@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--sdc", default="ramlak", choices=["ramlak", "ideal"],
                    help="density compensation: reference Ram-Lak or exact polar cells")
+    p.add_argument("--combine", default="sos", choices=["sos", "walsh", "none"],
+                   help="coil combination (adjoint only)")
+    p.add_argument("--half", action="store_true",
+                   help="write float16 output (.ra eltype float/2, the fp16 "
+                   "path of the reference's float16.cu)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the recon into DIR")
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default="img_tron.ra")
     return p
@@ -77,10 +84,25 @@ def main(argv=None) -> int:
         backend=args.backend,
         angle_scheme=args.scheme,
         sdc=args.sdc,
+        coil_combine=args.combine,
     )
 
     vprint(f"Reading {args.infile}")
-    indata = ra_read(args.infile)
+    try:
+        indata = ra_read(args.infile)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if not np.iscomplexobj(indata):
+        # float inputs: a leading dim of 2 is the re/im-pair convention of
+        # the MATLAB raread/rawrite twins (src/raread.m:25-57); anything
+        # else is promoted to complex (covers the fp16 storage path)
+        if indata.ndim == 6 and indata.shape[0] == 2:
+            indata = (
+                indata[0].astype(np.float32) + 1j * indata[1].astype(np.float32)
+            ).astype(np.complex64)
+        else:
+            indata = indata.astype(np.complex64)
     if indata.ndim != 5:
         print(f"error: expected 5-D .ra input, got {indata.ndim}-D", file=sys.stderr)
         return 1
@@ -98,20 +120,31 @@ def main(argv=None) -> int:
 
     from tron_tpu.recon import recon_radial2d
 
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
     start = time.perf_counter()
-    out = recon_radial2d(indata, cfg)
+    with prof:
+        out = recon_radial2d(indata, cfg)
     elapsed = time.perf_counter() - start
     vprint(f"Elapsed time: {elapsed:.2f} s")
 
     if cfg.adjoint:
         # out: (nz, nt, ny, nx) -> .ra dims (1, nt, nx, ny, nz)
-        nz, nt, ny, nx = out.shape
         arr = np.transpose(out[None], (0, 2, 4, 3, 1))
-        ra_write(arr.astype(np.complex64), args.outfile)
     else:
         # out: (nz, nc, nt, npe1, nro) -> .ra dims (nc, nt, nro, npe1, npe2=nz)
         arr = np.transpose(out, (1, 2, 4, 3, 0))
-        ra_write(arr.astype(np.complex64), args.outfile)
+    if args.half:
+        # fp16 storage: re/im planes on a leading dim of 2 (raread.m trick)
+        arr = np.stack([arr.real, arr.imag]).astype(np.float16)
+    else:
+        arr = arr.astype(np.complex64)
+    ra_write(arr, args.outfile)
     vprint(f"Saved result to {args.outfile}")
     return 0
 

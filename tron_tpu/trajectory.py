@@ -23,6 +23,17 @@ def modang(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(y < 0, y + TWO_PI, y)
 
 
+def minangulardist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Minimum angular distance treating a and a+pi as equivalent
+    (`src/tron.cu:380-388`; defined but unused there — useful for spoke
+    dedup / view-sharing logic)."""
+    d1 = jnp.abs(modang(a - b))
+    d2 = jnp.abs(modang(a + jnp.pi) - b)
+    d3 = TWO_PI - d1
+    d4 = TWO_PI - d2
+    return jnp.minimum(jnp.minimum(d1, d2), jnp.minimum(d3, d4))
+
+
 def spoke_angles(
     npe: int,
     scheme: str,

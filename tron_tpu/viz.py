@@ -105,3 +105,27 @@ def raview(ra_path: str, out_path: str | None = None):
     if a.shape[-1] < a.shape[0]:
         a = np.moveaxis(a, -1, 0)
     return mosaic(a, out_path)
+
+
+def rkmp(kspace: np.ndarray, path: str, title: str = ""):
+    """k-space real/imag/log-magnitude/phase strip (src/rkmp.m)."""
+    k = np.asarray(kspace)
+    plt = _plt()
+    fig, axes = plt.subplots(1, 4, figsize=(12, 3.2))
+    logmag = np.log1p(np.abs(k))
+    panels = [
+        (k.real, "real", "gray"),
+        (k.imag, "imag", "gray"),
+        (logmag, "log magnitude", "viridis"),
+        (np.angle(k), "phase", "twilight"),
+    ]
+    for ax, (p, name, cmap) in zip(axes, panels):
+        im = ax.imshow(p, cmap=cmap)
+        ax.set_title(name)
+        ax.set_axis_off()
+        fig.colorbar(im, ax=ax, fraction=0.045)
+    if title:
+        fig.suptitle(title)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -9,9 +9,12 @@ mkdir -p output
 # phantom data from RUNME1
 [ -f output/sl_data_tron.ra ] || sh scripts/RUNME1_tron_degrid_phantom.sh
 
-# 1) linear-angle phantom gridding (reference: tron -a -d 512)
+# 1) linear-angle phantom gridding (reference: tron -a -d 512).
+#    --scheme linear_half matches the convention RUNME1's degrid used
+#    (the reference's grid/degrid linear conventions differ; SURVEY.md §7)
 for i in 1 2 3; do
-  time python -m tron_tpu.cli -a -d 512 output/sl_data_tron.ra output/sl_img_tron.ra
+  time python -m tron_tpu.cli -a -d 512 --scheme linear_half \
+    output/sl_data_tron.ra output/sl_img_tron.ra
 done
 
 # 2) golden-angle multicoil dynamic series (whole-body analog, reduced):

@@ -1,0 +1,82 @@
+"""Extended CLI paths: CGNR (-i), nt > 1 repetitions, --shard, walsh."""
+
+import numpy as np
+import jax
+import pytest
+
+from tron_tpu.cli import main
+from tron_tpu.io import ra_query, ra_read, ra_write
+from tron_tpu.phantom import shepp_logan
+
+
+def _phantom_data(tmp_path, n=16, scheme=["--scheme", "linear_half"]):
+    img = shepp_logan(n)
+    src = tmp_path / "sl.ra"
+    ra_write(img.T[None, None, :, :, None].astype(np.complex64), src)
+    data = tmp_path / "d.ra"
+    assert main([str(src), str(data)]) == 0
+    return src, data, img
+
+
+def test_cgnr_cli(tmp_path):
+    src, data, img = _phantom_data(tmp_path)
+    out = tmp_path / "cg.ra"
+    assert main(["-a", "-i", "3", "--scheme", "linear_half", str(data), str(out)]) == 0
+    rec = np.abs(ra_read(out)[0, 0, :, :, 0])
+    assert np.isfinite(rec).all() and rec.max() > 0
+    # CGNR should correlate at least as well as the plain adjoint
+    adj = tmp_path / "adj.ra"
+    assert main(["-a", "--scheme", "linear_half", str(data), str(adj)]) == 0
+    ra_ = np.abs(ra_read(adj)[0, 0, :, :, 0])
+    ref = np.abs(shepp_logan(16).T)
+
+    def corr(m):
+        a = m.ravel() - m.mean()
+        b = ref.ravel() - ref.mean()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert corr(rec) > corr(ra_) - 0.05
+
+
+def test_nt_gt_1(tmp_path, rng):
+    nc, nt, nro, npe1 = 2, 3, 32, 16
+    d = (rng.standard_normal((nc, nt, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, nt, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    out = tmp_path / "o.ra"
+    assert main(["-a", "-G", str(p), str(out)]) == 0
+    h = ra_query(out)
+    assert h.dims == (1, nt, 16, 16, 1)
+    arr = ra_read(out)
+    assert np.isfinite(arr).all()
+    # repetitions are independent recons of different data -> must differ
+    assert not np.allclose(arr[0, 0], arr[0, 1])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_shard_matches_unsharded(tmp_path, rng):
+    nc, nro, npe1 = 2, 32, 48
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "8", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--shard"]) == 0
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=1e-5)
+
+
+def test_walsh_cli(tmp_path, rng):
+    nc, nro, npe1 = 4, 32, 32
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    out = tmp_path / "w.ra"
+    assert main(["-a", "-G", "--combine", "walsh", str(p), str(out)]) == 0
+    arr = ra_read(out)
+    assert np.isfinite(arr).all()
+    # walsh keeps phase information (nonzero imaginary part), unlike SoS
+    assert np.abs(arr.imag).max() > 0

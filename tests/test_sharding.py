@@ -56,3 +56,16 @@ def test_coil_only_mesh(rng):
     got = np.asarray(recon_frames_sharded(jnp.asarray(data), cfg, mesh, work, slide, nz))
     want = np.asarray(recon_frames(jnp.asarray(data), cfg, work, slide, nz))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_cgnr(rng):
+    """CGNR inside the sharded worker (iterative mode, coil psum combine)."""
+    nro, npe1, nc = 32, 16, 2
+    cfg = ReconConfig(golden_angle=True, niter=2)
+    work, slide, nz = cfg.frame_geometry(nro, npe1)
+    data = _mkdata(rng, nc, npe1, nro)
+
+    mesh = make_mesh(n_frame=4, n_coil=2)
+    got = np.asarray(recon_frames_sharded(jnp.asarray(data), cfg, mesh, work, slide, nz))
+    want = np.asarray(recon_frames(jnp.asarray(data), cfg, work, slide, nz))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)

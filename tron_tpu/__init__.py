@@ -17,14 +17,23 @@ static shapes.
 
 from tron_tpu.config import ReconConfig
 from tron_tpu.nufft import nufft_adjoint, nufft_forward
+from tron_tpu.ops.degrid import degrid_radial2d
+from tron_tpu.ops.grid import grid_radial2d
 from tron_tpu.recon import recon_radial2d
+from tron_tpu.solver import cgnr_radial2d
 
 __version__ = "0.1.0"
 
+# The public library surface mirrors the reference's intended FFI contract
+# (extern "C" {gridradial2d, degridradial2d, recon_radial_2d} + ra I/O,
+# src/tron.h:55-73) plus the operator pipelines and the working solver.
 __all__ = [
     "ReconConfig",
     "nufft_adjoint",
     "nufft_forward",
+    "grid_radial2d",
+    "degrid_radial2d",
     "recon_radial2d",
+    "cgnr_radial2d",
     "__version__",
 ]

@@ -59,9 +59,31 @@ def build_parser() -> argparse.ArgumentParser:
                    "path of the reference's float16.cu)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the recon into DIR")
+    p.add_argument("--shard", action="store_true",
+                   help="shard frames across all local devices (adjoint 2D "
+                   "recon; single-process mesh via shard_map)")
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default="img_tron.ra")
     return p
+
+
+def _recon_sharded_cli(indata, cfg):
+    """Frame-sharded adjoint recon over all local devices (nt == 1)."""
+    import jax
+
+    from tron_tpu.parallel import make_mesh, recon_frames_sharded
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    nc, nt, nro, npe1 = indata.shape[:4]
+    if nt != 1:
+        raise SystemExit("--shard currently supports nt == 1")
+    work, slide, nz = cfg.frame_geometry(nro, npe1)
+    d = np.ascontiguousarray(
+        np.transpose(indata.reshape(nc, nt, nro, npe1, -1)[..., 0], (1, 0, 3, 2))
+    ).reshape(nc, npe1, nro)
+    mesh = make_mesh(n_frame=len(jax.devices()), n_coil=1)
+    out = recon_frames_sharded(to_device(d), cfg, mesh, work, slide, nz)
+    return to_host(out)[:, None]  # (nz, nt=1, n, n)
 
 
 def main(argv=None) -> int:
@@ -129,7 +151,10 @@ def main(argv=None) -> int:
     )
     start = time.perf_counter()
     with prof:
-        out = recon_radial2d(indata, cfg)
+        if args.shard and cfg.adjoint and not cfg.koosh:
+            out = _recon_sharded_cli(indata, cfg)
+        else:
+            out = recon_radial2d(indata, cfg)
     elapsed = time.perf_counter() - start
     vprint(f"Elapsed time: {elapsed:.2f} s")
 

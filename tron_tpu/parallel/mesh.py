@@ -74,7 +74,10 @@ def recon_frames_sharded(
             win = jax.lax.dynamic_slice_in_dim(d_local, pe0, npe1work, axis=-2)
             angles = spoke_angles(npe1work, cfg.scheme_for("adjoint"), cfg.skip_angles + pe0)
             if cfg.niter > 0:
-                coilimg = cgnr_radial2d(win, angles, cfg)
+                # CG inner products must be global across the coil shards
+                coilimg = cgnr_radial2d(
+                    win, angles, cfg, reduce_axes=("coil",) if ncs > 1 else ()
+                )
             else:
                 coilimg = nufft_adjoint(win, angles, cfg)
             # partial SoS + psum over the coil shards

@@ -34,8 +34,15 @@ def cgnr_radial2d(
     cfg: ReconConfig,
     niter: int | None = None,
     rtol: float = 1e-6,
+    reduce_axes: tuple = (),
 ) -> jnp.ndarray:
-    """data: (..., npe, nro) -> image estimate (..., n, n)."""
+    """data: (..., npe, nro) -> image estimate (..., n, n).
+
+    ``reduce_axes``: mesh axis names to psum the CG inner products over —
+    required when channels are sharded (inside shard_map), so every shard
+    steps with the *global* alpha/beta; the direct analog of a data-parallel
+    gradient allreduce.
+    """
     niter = cfg.niter if niter is None else niter
     npe, nro = data.shape[-2:]
     n = nro // 2
@@ -43,7 +50,9 @@ def cgnr_radial2d(
     w = sdc_weights(cfg, nro, npe).astype(data.dtype)
 
     fwd = partial(nufft_forward, angles=angles, cfg=cfg, nro=nro)
-    x0 = jnp.zeros(img_shape, dtype=data.dtype)
+    # derive the zero linearization point from the data so its device-
+    # varyance matches the cotangents under shard_map (vma consistency)
+    x0 = jnp.zeros(img_shape, dtype=data.dtype) + 0.0 * data.reshape(-1)[0]
     fwd_t = jax.linear_transpose(fwd, x0)
 
     def AHW(y):
@@ -58,7 +67,10 @@ def cgnr_radial2d(
     b = AHW(data)
 
     def inner(a, bb):
-        return jnp.sum(jnp.conj(a) * bb).real
+        v = jnp.sum(jnp.conj(a) * bb).real
+        for ax in reduce_axes:
+            v = jax.lax.psum(v, ax)
+        return v
 
     def cond(state):
         k, x, r, p, rs = state

@@ -80,3 +80,20 @@ def test_walsh_cli(tmp_path, rng):
     assert np.isfinite(arr).all()
     # walsh keeps phase information (nonzero imaginary part), unlike SoS
     assert np.abs(arr.imag).max() > 0
+
+
+def test_compress_cli(tmp_path, rng):
+    """--compress N: recon runs on N virtual coils; for data truly spanning
+    a low-rank coil subspace the image is unchanged."""
+    nc, nro, npe1 = 6, 32, 32
+    base = (rng.standard_normal((2, 1, nro, npe1, 1)) +
+            1j * rng.standard_normal((2, 1, nro, npe1, 1))).astype(np.complex64)
+    mix = (rng.standard_normal((nc, 2)) + 1j * rng.standard_normal((nc, 2))).astype(np.complex64)
+    d = np.einsum("ck,ktrpz->ctrpz", mix, base)
+    p = tmp_path / "d.ra"
+    ra_write(d.astype(np.complex64), p)
+    full, comp = tmp_path / "f.ra", tmp_path / "c.ra"
+    assert main(["-a", "-G", str(p), str(full)]) == 0
+    assert main(["-a", "-G", "--compress", "2", str(p), str(comp)]) == 0
+    a, b = np.abs(ra_read(full)), np.abs(ra_read(comp))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4 * float(a.max()))

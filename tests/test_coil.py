@@ -46,3 +46,28 @@ def test_walsh_single_channel(rng):
     x = (rng.standard_normal((1, 8, 8)) + 1j * rng.standard_normal((1, 8, 8))).astype(np.complex64)
     got = np.asarray(coil_combine_walsh(jnp.asarray(x)))
     np.testing.assert_array_equal(got, x[0])
+
+
+def test_coil_compress_rank_recovery(rng):
+    """Data spanning a rank-2 coil subspace compresses to 2 channels with
+    no information loss (SoS image preserved)."""
+    from tron_tpu.ops.coil import coil_compress
+
+    C, npe, nro = 6, 8, 16
+    base = (rng.standard_normal((2, npe, nro)) + 1j * rng.standard_normal((2, npe, nro))).astype(np.complex64)
+    mix = (rng.standard_normal((C, 2)) + 1j * rng.standard_normal((C, 2))).astype(np.complex64)
+    data = jnp.asarray(np.einsum("ck,kpr->cpr", mix, base))
+
+    comp = coil_compress(data, 2)
+    assert comp.shape == (2, npe, nro)
+    # energy preserved (unitary rotation onto the signal subspace)
+    e_full = float(jnp.sum(jnp.abs(data) ** 2))
+    e_comp = float(jnp.sum(jnp.abs(comp) ** 2))
+    assert abs(e_comp - e_full) / e_full < 1e-4
+
+
+def test_coil_compress_passthrough(rng):
+    from tron_tpu.ops.coil import coil_compress
+
+    x = jnp.asarray((rng.standard_normal((3, 4, 8)) + 0j).astype(np.complex64))
+    assert coil_compress(x, 5) is x

@@ -91,3 +91,15 @@ def test_small_grid_dispatch(rng):
     got = _run(data, angles, nxos, tile=128, pe_chunk=4)
     want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
     assert nrmse(got, want) < 1e-5
+
+
+def test_bf16x3_accuracy(rng):
+    """Compensated 3-pass bf16 must be ~fp32-grade (<1e-4 vs fp32 ref)."""
+    nxos = nro = 256
+    data, angles = _case(rng, 2, 16, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    got = _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bf16x3")
+    err = nrmse(got, want)
+    assert err < 2e-4, f"bf16x3 vs fp32 jnp nrmse={err:.2e}"
+    got1 = _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bfloat16")
+    assert nrmse(got1, want) > err  # strictly better than 1-pass

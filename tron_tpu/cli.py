@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "path of the reference's float16.cu)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the recon into DIR")
+    p.add_argument("--precision", default="fast", choices=["fast", "accurate"],
+                   help="gridding matmul precision: fast = 1-pass bf16 "
+                   "(~3e-3, same as XLA's TPU default), accurate = "
+                   "compensated bf16x3 (~fp32, ~18%% slower)")
+    p.add_argument("--compress", type=int, default=0, metavar="N",
+                   help="SVD-compress to N virtual coils before gridding")
     p.add_argument("--shard", action="store_true",
                    help="shard frames across all local devices (adjoint 2D "
                    "recon; single-process mesh via shard_map)")
@@ -107,6 +113,8 @@ def main(argv=None) -> int:
         angle_scheme=args.scheme,
         sdc=args.sdc,
         coil_combine=args.combine,
+        coil_compress=args.compress,
+        matmul_dtype="bf16x3" if args.precision == "accurate" else "bfloat16",
     )
 
     vprint(f"Reading {args.infile}")

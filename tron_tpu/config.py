@@ -58,6 +58,8 @@ class ReconConfig:
     koosh: bool = False          # -3 (3D stack handling)
     coil_combine: str = "sos"    # "sos" | "walsh" | "none"
     walsh_npatch: int = 1
+    coil_compress: int = 0       # SVD-compress to N virtual coils (0 = off);
+                                 # the reference's open TODO at src/tron.cu:765
 
     # Implementation knobs
     backend: str = "auto"        # "auto" | "jnp" | "pallas"

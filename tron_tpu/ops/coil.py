@@ -73,3 +73,25 @@ def coil_combine_walsh(
     x, _ = jax.lax.scan(it, x, None, length=niters)
     v = jnp.moveaxis(x, -1, 0)                             # (C, ny, nx)
     return jnp.sum(jnp.conj(v) * coilimg, axis=0)
+
+
+def coil_compress(data: jnp.ndarray, ncomp: int) -> jnp.ndarray:
+    """SVD coil compression: (C, npe, nro) k-space -> (ncomp, npe, nro).
+
+    The reference leaves this as a TODO ("look at nc to decide whether to
+    coil combine and by how much (can compress)", src/tron.cu:765); here it
+    is the standard Buehrer/Huang SCC: stack samples as an (M, C) matrix,
+    keep the top right-singular vectors, rotate the data into that basis.
+    Compressing 32-channel arrays to ~8 virtual coils before gridding cuts
+    the hot-loop channel cost proportionally.
+    """
+    C = data.shape[0]
+    if ncomp >= C:
+        return data
+    X = data.reshape(C, -1)                       # (C, M)
+    # Gram matrix in coil space (C x C) — cheap and TPU-friendly
+    G = X @ X.conj().T
+    _, vecs = jnp.linalg.eigh(G)                  # ascending eigenvalues
+    basis = vecs[:, ::-1][:, :ncomp]              # top-ncomp components
+    Y = basis.conj().T @ X
+    return Y.reshape((ncomp,) + data.shape[1:])

@@ -172,6 +172,7 @@ def _seg_kernel(
     kb_coeffs,
     scale: float,
     mm_dtype,
+    passes: int = 1,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -211,12 +212,25 @@ def _seg_kernel(
         B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
         sp = s_ref[slot, pl.ds(seg0, seg), :]               # (SEG, C2)
         U = (sp[:, :, None] * B[:, None, :]).reshape(seg, c2 * ty)
-        acc_ref[...] += jax.lax.dot_general(
-            A.astype(mm_dtype),
-            U.astype(mm_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+
+        def dot(a, u):
+            return jax.lax.dot_general(
+                a, u,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if passes == 1:
+            acc_ref[...] += dot(A.astype(mm_dtype), U.astype(mm_dtype))
+        else:
+            # compensated bf16x3: split both operands into hi + lo bf16
+            # halves; the three cross terms recover ~fp32 accuracy on the
+            # same MXU path (the lo*lo term is below fp32 noise)
+            Ah = A.astype(jnp.bfloat16)
+            Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            Uh = U.astype(jnp.bfloat16)
+            Ul = (U - Uh.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc_ref[...] += dot(Ah, Uh) + (dot(Ah, Ul) + dot(Al, Uh))
         return 0
 
     jax.lax.fori_loop(0, cnt, spoke, 0)
@@ -364,7 +378,10 @@ def _pallas_seg_impl(
 
 
     s2, angles_s, nch, _, _ = _prep_samples(data, nxos, pe_chunk, angles, "prc")
-    mm_dtype = jnp.bfloat16 if matmul_dtype == "bfloat16" else jnp.float32
+    # "bfloat16": fast 1-pass; "bf16x3": compensated 3-pass (~fp32 grade);
+    # "float32": direct (slow on TPU MXUs — fp32 matmul is emulated)
+    passes = 3 if matmul_dtype == "bf16x3" else 1
+    mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
     s2 = s2.astype(jnp.float32)
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
@@ -416,6 +433,7 @@ def _pallas_seg_impl(
         kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
         scale=1.0 / (nxos * npe),
         mm_dtype=mm_dtype,
+        passes=passes,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -90,6 +90,13 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
             np.transpose(indata.reshape(nc, nt, nro, npe1, -1)[..., 0], (1, 0, 3, 2))
         ).reshape(nt * nc, npe1, nro)
         d = to_device(dnp)
+        if 0 < cfg.coil_compress < nc:
+            from tron_tpu.ops.coil import coil_compress
+
+            dc = d.reshape(nt, nc, npe1, nro)
+            d = jax.jit(jax.vmap(lambda x: coil_compress(x, cfg.coil_compress)))(dc)
+            nc = cfg.coil_compress
+            d = d.reshape(nt * nc, npe1, nro)
         if nt > 1:
             # combine coils per repetition: vmap recon over nt
             d = d.reshape(nt, nc, npe1, nro)

@@ -103,3 +103,30 @@ def test_bf16x3_accuracy(rng):
     assert err < 2e-4, f"bf16x3 vs fp32 jnp nrmse={err:.2e}"
     got1 = _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bfloat16")
     assert nrmse(got1, want) > err  # strictly better than 1-pass
+
+
+def test_vmap_over_frames(rng):
+    """recon_frames lax.map-batches frames, which vmaps the pallas call
+    (batched grid dim + batched scalar-prefetch operands) — must equal the
+    per-frame loop."""
+    import jax
+
+    nxos = nro = 256
+    kw, beta = 2.0, kb_beta(2.0, 2.0)
+    F, C, npe = 3, 2, 12
+    data = (rng.standard_normal((F, C, npe, nro)) +
+            1j * rng.standard_normal((F, C, npe, nro))).astype(np.complex64)
+    skips = jnp.asarray([0.0, 5.0, 11.0])
+
+    def one(d, skip):
+        ang = spoke_angles(npe, AngleScheme.GOLDEN, skip)
+        return grid_pallas.grid_radial2d_pallas(
+            d, ang, nxos, kw, beta, pe_chunk=4, interpret=True,
+            matmul_dtype="float32",
+        )
+
+    got = np.asarray(jax.vmap(one)(jnp.asarray(data), skips))
+    for f in range(F):
+        want = np.asarray(one(jnp.asarray(data[f]), skips[f]))
+        err = nrmse(got[f], want)
+        assert err < 1e-6, f"frame {f}: vmap vs loop nrmse={err:.2e}"

@@ -129,3 +129,10 @@ def rkmp(kspace: np.ndarray, path: str, title: str = ""):
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+if __name__ == "__main__":  # python -m tron_tpu.viz file.ra [out.png]
+    import sys
+
+    out = raview(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
+    print(out)

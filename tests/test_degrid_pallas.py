@@ -1,0 +1,73 @@
+"""Pallas degrid kernel vs the gather/dense backends (interpret mode).
+
+The Pallas kernel clips KB footprints at the grid boundary (matching the
+gridding kernel) while gather/dense wrap; comparisons therefore zero the
+outermost readouts, where the conventions legitimately differ.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tron_tpu.config import AngleScheme
+from tron_tpu.kernels.kb import kb_beta
+from tron_tpu.ops.degrid import degrid_radial2d
+from tron_tpu.trajectory import spoke_angles
+from tests.conftest import nrmse
+
+dp = pytest.importorskip("tron_tpu.ops.degrid_pallas")
+
+
+def _interior_mask(nro, kw=2):
+    ro = np.arange(nro)
+    return (np.abs(ro - nro // 2) <= nro // 2 - kw - 2) & (ro != 0)
+
+
+@pytest.mark.parametrize("C,npe,n", [(2, 12, 256), (1, 23, 384)])
+def test_pallas_degrid_matches_gather_interior(rng, C, npe, n):
+    beta = kb_beta(2.0, 2.0)
+    g = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
+        np.complex64
+    )
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 7))
+    want = np.asarray(
+        degrid_radial2d(jnp.asarray(g), angles, n, 2.0, beta, backend="gather")
+    )
+    got = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    m = _interior_mask(n)
+    err = nrmse(got[..., m], want[..., m])
+    assert err < 2e-4, f"pallas degrid vs gather (interior) nrmse={err:.2e}"
+
+
+def test_pallas_degrid_linear(rng):
+    n, npe = 256, 10
+    beta = kb_beta(2.0, 2.0)
+    g = (rng.standard_normal((1, n, n)) + 1j * rng.standard_normal((1, n, n))).astype(
+        np.complex64
+    )
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.LINEAR_HALF))
+    want = np.asarray(degrid_radial2d(jnp.asarray(g), angles, n, 2.0, beta, backend="gather"))
+    got = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=8,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    m = _interior_mask(n)
+    assert nrmse(got[..., m], want[..., m]) < 2e-4
+
+
+def test_pallas_degrid_fallback_small(rng):
+    """Small grids dispatch to the dense backend transparently."""
+    n, npe = 64, 8
+    beta = kb_beta(2.0, 2.0)
+    g = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
+    got = np.asarray(dp.degrid_radial2d_pallas(jnp.asarray(g), angles, n, 2.0, beta))
+    want = np.asarray(degrid_radial2d(jnp.asarray(g), angles, n, 2.0, beta, backend="gather"))
+    assert nrmse(got, want) < 2e-4

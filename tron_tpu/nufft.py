@@ -99,10 +99,13 @@ def nufft_forward(
     angles: jnp.ndarray,
     cfg: ReconConfig,
     nro: int | None = None,
+    wrap: bool = True,
 ) -> jnp.ndarray:
     """Images (..., n, n) -> radial samples (..., npe, nro).
 
-    nro defaults to gridos * n (`src/tron.cu:945`).
+    nro defaults to gridos * n (`src/tron.cu:945`).  ``wrap=False`` clips KB
+    footprints at the grid edge (exact transpose of the gridding adjoint);
+    the Pallas TPU backend always clips.
     """
     n = img.shape[-1]
     nxos = int(n * cfg.gridos)
@@ -114,4 +117,21 @@ def nufft_forward(
     if cfg.deapodize:
         x = deapodize(x, nxos, cfg.kernwidth, beta)
     kgrid = centered_fft2(x)
-    return degrid_radial2d(kgrid, angles, nro, cfg.kernwidth, beta)
+    if cfg.backend in ("pallas", "auto") and nro == nxos:
+        try:
+            if cfg.backend == "pallas" or _on_tpu():
+                from tron_tpu.ops.degrid_pallas import degrid_radial2d_pallas
+
+                batch = kgrid.shape[:-2]
+                flat = kgrid.reshape((-1,) + kgrid.shape[-2:])
+                out = degrid_radial2d_pallas(
+                    flat, angles, nro, cfg.kernwidth, beta,
+                    matmul_dtype=(
+                        cfg.matmul_dtype if cfg.matmul_dtype == "float32" else "bfloat16"
+                    ),
+                )
+                return out.reshape(batch + out.shape[-2:])
+        except Exception:
+            if cfg.backend == "pallas":
+                raise
+    return degrid_radial2d(kgrid, angles, nro, cfg.kernwidth, beta, wrap=wrap)

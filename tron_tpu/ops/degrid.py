@@ -29,8 +29,14 @@ def degrid_radial2d(
     beta: float,
     backend: str = "auto",
     pe_chunk: int = 8,
+    wrap: bool = True,
 ) -> jnp.ndarray:
     """kgrid: (..., nyos, nxos) centered complex k-space; angles: (npe,).
+
+    ``wrap=False`` clips KB footprints at the grid boundary instead of the
+    reference's periodic wrap (`src/tron.cu:569-570`) — this makes degrid
+    the exact transpose of the gridding op (which clips), as the CGNR
+    operator pair requires.
 
     Returns samples (..., npe, nro).  Sample ro of spoke t sits at radius
     (ro/nro - 1/2)*nxos grid units (`src/tron.cu:554, 560-561`); the grid is
@@ -53,7 +59,7 @@ def degrid_radial2d(
             on_tpu = False
         backend = "dense" if on_tpu else "gather"
     if backend == "dense":
-        return _degrid_dense(kgrid, angles, nro, kernwidth, beta, pe_chunk)
+        return _degrid_dense(kgrid, angles, nro, kernwidth, beta, pe_chunk, wrap)
     n = kgrid.shape[-1]
     batch = kgrid.shape[:-2]
     flat = kgrid.reshape(*batch, n * n)
@@ -73,10 +79,14 @@ def degrid_radial2d(
     for dx in range(noff):
         xu = x0 + dx
         wx = kb_kernel(xu.astype(jnp.float32) - xs, kernwidth, beta)
+        if not wrap:
+            wx = wx * ((xu >= 0) & (xu < n))
         iu = jnp.mod(xu, n)
         for dy in range(noff):
             yu = y0 + dy
             w = wx * kb_kernel(yu.astype(jnp.float32) - ys, kernwidth, beta)
+            if not wrap:
+                w = w * ((yu >= 0) & (yu < n))
             jv = jnp.mod(yu, n)
             idx = jv * n + iu                       # row-major (y, x)
             vals = jnp.take(flat, idx.reshape(-1), axis=-1)
@@ -92,6 +102,7 @@ def _degrid_dense(
     kernwidth: float,
     beta: float,
     pe_chunk: int = 8,
+    wrap: bool = True,
 ) -> jnp.ndarray:
     """Separable dense formulation (the forward mirror of ops/grid.py):
 
@@ -126,7 +137,8 @@ def _degrid_dense(
     ys_c = ys.reshape(nch, pe_chunk, nro)
 
     def wrapped_kb(d):
-        d = jnp.mod(d + n / 2, n) - n / 2
+        if wrap:
+            d = jnp.mod(d + n / 2, n) - n / 2
         return kb_kernel(d, kernwidth, beta)
 
     def step(_, inp):

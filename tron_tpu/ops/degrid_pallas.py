@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for forward radial degridding — the exact dataflow
+transpose of the gridding kernel (ops/grid_pallas.py), sharing its geometry:
+
+    s[p, r] = sum_y B[p, r, y] * ( sum_x A[p, r, x] * G[c, y, x] )
+
+Per (spoke-chunk, tile, sign): the inner sum over x is an MXU matmul of the
+KB column weights A (generated in VMEM) against the tile's grid block; the
+outer sum over y is a VPU reduction against B.  Each sample's readout
+segment accumulates contributions from every tile its KB footprint touches
+— tiles partition the grid, so the tile sum is exact.  Same static radius
+segments, angle-sorted spoke hit lists and dynamic-bound loops as the
+adjoint kernel; no gather, no scatter, deterministic.
+
+Requires nro == nxos (the default gridos=2 geometry, where sample radii are
+integers — `src/tron.cu:945`); other ratios dispatch to the dense XLA
+backend.  Like the gridding kernel (and unlike the gather/dense degrid
+backends) the KB footprint is clipped at the grid boundary rather than
+wrapped — the two conventions differ only on the outermost ~kw readouts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tron_tpu.ops.grid_pallas import (
+    _culling_tables,
+    _kb_poly,
+    _kb_taylor_coeffs,
+    _tile_segments,
+)
+
+
+def _degrid_kernel(
+    seg_ref,    # scalar prefetch: (tiles*tiles*2,) i32 segment starts
+    cnt_ref,    # scalar prefetch: (tiles*tiles*2*nch,) i32 hits per chunk
+    hl_ref,     # scalar prefetch: (tiles*tiles*2*nch*PE_CHUNK,) i32 hit slots
+    ct_ref,     # scalar prefetch: (npe',) f32 cos(theta)
+    st_ref,     # scalar prefetch: (npe',) f32 sin(theta)
+    g_ref,      # (C2, TY, TX) grid block (f32 planes)
+    out_ref,    # (PE_CHUNK, nro, C2) f32 sample block
+    acc_ref,    # (PE_CHUNK, nro, C2) f32 scratch
+    *,
+    pe_chunk: int,
+    nxos: int,
+    seg: int,
+    tiles: int,
+    ty: int,
+    tx: int,
+    c2: int,
+    kernwidth: float,
+    kb_coeffs,
+    mm_dtype,
+):
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    s = pl.program_id(3)
+    nch = pl.num_programs(0)
+
+    @pl.when((i == 0) & (j == 0) & (s == 0))
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    site = (i * tiles + j) * 2 + s
+    cnt = cnt_ref[site * nch + k]
+
+    half = nxos // 2
+    seg0 = seg_ref[site]
+    rseg = (
+        jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0) + seg0 - half
+    ).astype(jnp.float32)                                   # (SEG, 1)
+    X = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
+    ).astype(jnp.float32)
+    Y = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
+    ).astype(jnp.float32)
+
+    G2 = g_ref[...].reshape(c2 * ty, tx).astype(mm_dtype)
+
+    def spoke(p, _):
+        slot = hl_ref[(site * nch + k) * pe_chunk + p]
+        ct = ct_ref[k * pe_chunk + slot]
+        st = st_ref[k * pe_chunk + slot]
+        A = _kb_poly(rseg * ct - X, kernwidth, kb_coeffs)   # (SEG, TX)
+        B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
+        # V[r, (c, y)] = sum_x A[r, x] * G[(c, y), x]
+        V = jax.lax.dot_general(
+            A.astype(mm_dtype), G2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(seg, c2, ty)
+        contrib = jnp.sum(V * B[:, None, :], axis=-1)       # (SEG, C2)
+        cur = acc_ref[slot, pl.ds(seg0, seg), :]
+        acc_ref[slot, pl.ds(seg0, seg), :] = cur + contrib
+        return 0
+
+    jax.lax.fori_loop(0, cnt, spoke, 0)
+
+    @pl.when(
+        (i == pl.num_programs(1) - 1) & (j == pl.num_programs(2) - 1) & (s == 1)
+    )
+    def _done():
+        out_ref[...] = acc_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
+        "cull",
+    ),
+)
+def _degrid_pallas_impl(
+    kgrid, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
+    cull="geom",
+):
+    C, n_y, n_x = kgrid.shape
+    c2 = 2 * C
+    npe = angles.shape[0]
+    nro = nxos
+    tiles = nxos // tile
+    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
+
+    mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
+
+    # sort spokes by angle (shared culling machinery); the "samples" fed to
+    # _prep_samples are irrelevant here — only the ordering matters, so we
+    # reorder the OUTPUT back at the end using the same argsort
+    from tron_tpu.trajectory import modang
+
+    order = jnp.argsort(modang(angles))
+    angles_s = angles[order]
+    nch = -(-npe // pe_chunk)
+    pad = nch * pe_chunk - npe
+    if pad:
+        angles_s = jnp.pad(angles_s, (0, pad), mode="edge")
+    ct = jnp.cos(angles_s).astype(jnp.float32)
+    st = jnp.sin(angles_s).astype(jnp.float32)
+    counts, hitlist = _culling_tables(
+        angles_s, nxos, tile, kernwidth, nonempty, nch, pe_chunk, cull
+    )
+    seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
+
+    # grid as real planes (c2, ny, nx)
+    g2 = jnp.stack([kgrid.real, kgrid.imag], axis=1).reshape(c2, n_y, n_x)
+    g2 = g2.astype(jnp.float32)
+
+    kern = functools.partial(
+        _degrid_kernel,
+        pe_chunk=pe_chunk,
+        nxos=nxos,
+        seg=seg,
+        tiles=tiles,
+        ty=tile,
+        tx=tile,
+        c2=c2,
+        kernwidth=kernwidth,
+        kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
+        mm_dtype=mm_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nch, tiles, tiles, 2),
+        in_specs=[
+            pl.BlockSpec((c2, tile, tile), lambda k, i, j, s, *_: (0, i, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (pe_chunk, nro, c2), lambda k, i, j, s, *_: (k, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((pe_chunk, nro, c2), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nch * pe_chunk, nro, c2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seg_starts, counts.reshape(-1), hitlist.reshape(-1), ct, st, g2)
+
+    out = out[:npe]                                   # (npe, nro, c2) sorted
+    # undo the angle sort and reassemble complex channels
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(npe))
+    out = out[inv]
+    out = jnp.transpose(out, (2, 0, 1)).reshape(C, 2, npe, nro)
+    return (out[:, 0] + 1j * out[:, 1]).astype(kgrid.dtype)
+
+
+def degrid_radial2d_pallas(
+    kgrid: jnp.ndarray,
+    angles: jnp.ndarray,
+    nro: int,
+    kernwidth: float,
+    beta: float,
+    pe_chunk: int = 16,
+    tile: int = 128,
+    matmul_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """kgrid (C, n, n) or (n, n) complex -> samples (C, npe, nro).
+
+    Falls back to the dense XLA backend when the geometry doesn't fit the
+    kernel (nro != nxos, or grid too small to tile).
+    """
+    squeeze = kgrid.ndim == 2
+    if squeeze:
+        kgrid = kgrid[None]
+    n = kgrid.shape[-1]
+    if nro != n or n % tile != 0 or n // tile < 2:
+        from tron_tpu.ops.degrid import _degrid_dense
+
+        out = _degrid_dense(kgrid, angles, nro, kernwidth, beta)
+    else:
+        out = _degrid_pallas_impl(
+            kgrid, angles, n, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+            interpret,
+        )
+    return out[0] if squeeze else out

@@ -151,6 +151,55 @@ def _tile_segments(nxos: int, tile: int, kernwidth: float):
     return starts, nonempty, seg_len
 
 
+def _culling_tables(angles_s, nxos, tile, kernwidth, nonempty, nch, pe_chunk, cull):
+    """Per-(tile, sign, chunk) hit counts + front-compacted spoke hit lists.
+
+    A spoke "hits" (tile, sign) when its (sign-oriented) ray passes within
+    kernel reach of the tile: angular distance between the spoke direction
+    and the tile-center direction <= asin((halfdiag + kw + slack)/dist),
+    full circle for origin tiles.  Angles may be traced (golden-angle skip
+    varies per frame), so this runs in XLA; the *geometry* (phi0, delta) is
+    static python.
+    """
+    import numpy as np
+
+    tiles = nxos // tile
+    h = nxos // 2
+    cy, cx = np.meshgrid(
+        (np.arange(tiles) + 0.5) * tile - h, (np.arange(tiles) + 0.5) * tile - h,
+        indexing="ij",
+    )
+    dist = np.hypot(cx, cy).ravel()
+    phi0 = np.arctan2(cy, cx).ravel()
+    margin = tile / np.sqrt(2.0) + kernwidth + 2.0
+    delta = np.where(
+        dist <= margin, np.pi,
+        np.arcsin(np.minimum(1.0, margin / np.maximum(dist, 1e-6))),
+    )
+    theta = jnp.mod(angles_s, 2 * jnp.pi)
+
+    def angdist(a, b):
+        d = jnp.mod(a - b + jnp.pi, 2 * jnp.pi) - jnp.pi
+        return jnp.abs(d)
+
+    phi0_j = jnp.asarray(phi0, jnp.float32)[:, None]
+    delta_j = jnp.asarray(delta, jnp.float32)[:, None]
+    hit_pos = angdist(theta[None, :], phi0_j) <= delta_j            # (T2, npe')
+    hit_neg = angdist(theta[None, :], phi0_j + jnp.pi) <= delta_j
+    hits = jnp.stack([hit_pos, hit_neg], axis=1)                    # (T2, 2, npe')
+    hits = hits.reshape(tiles * tiles, 2, nch, pe_chunk)
+    if cull == "all":
+        hits = jnp.ones_like(hits)
+    hits = hits & jnp.asarray(nonempty.reshape(tiles * tiles, 2, 1, 1))
+    if cull == "none":
+        hits = jnp.zeros_like(hits)
+    # compact each chunk's hitting spokes to the front (stable argsort of
+    # the miss mask); kernels run a dynamic-bound loop over exactly these
+    hitlist = jnp.argsort(~hits, axis=-1, stable=True).astype(jnp.int32)
+    counts = hits.sum(-1).astype(jnp.int32)
+    return counts, hitlist
+
+
 def _seg_kernel(
     seg_ref,    # scalar prefetch: (tiles*tiles*2,) i32 segment starts
     cnt_ref,    # scalar prefetch: (tiles*tiles*2*nch,) i32 hits per chunk
@@ -385,39 +434,9 @@ def _pallas_seg_impl(
     s2 = s2.astype(jnp.float32)
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
-
-    # angular culling flags: does any spoke of chunk k hit (tile, sign)?
-    h = nxos // 2
-    cy, cx = np.meshgrid(
-        (np.arange(tiles) + 0.5) * tile - h, (np.arange(tiles) + 0.5) * tile - h,
-        indexing="ij",
+    counts, hitlist = _culling_tables(
+        angles_s, nxos, tile, kernwidth, nonempty, nch, pe_chunk, cull
     )
-    dist = np.hypot(cx, cy).ravel()
-    phi0 = np.arctan2(cy, cx).ravel()
-    margin = tile / np.sqrt(2.0) + kernwidth + 2.0
-    delta = np.where(dist <= margin, np.pi, np.arcsin(np.minimum(1.0, margin / np.maximum(dist, 1e-6))))
-    theta = jnp.mod(angles_s, 2 * jnp.pi)  # (npe',)
-
-    def angdist(a, b):
-        d = jnp.mod(a - b + jnp.pi, 2 * jnp.pi) - jnp.pi
-        return jnp.abs(d)
-
-    phi0_j = jnp.asarray(phi0, jnp.float32)[:, None]
-    delta_j = jnp.asarray(delta, jnp.float32)[:, None]
-    hit_pos = angdist(theta[None, :], phi0_j) <= delta_j            # (T2, npe')
-    hit_neg = angdist(theta[None, :], phi0_j + jnp.pi) <= delta_j
-    hits = jnp.stack([hit_pos, hit_neg], axis=1)                    # (T2, 2, npe')
-    hits = hits.reshape(tiles * tiles, 2, nch, pe_chunk)
-    if cull == "all":
-        hits = jnp.ones_like(hits)
-    hits = hits & jnp.asarray(nonempty.reshape(tiles * tiles, 2, 1, 1))
-    if cull == "none":
-        hits = jnp.zeros_like(hits)
-    # compact each chunk's hitting spokes to the front (stable argsort of
-    # the miss mask) and record per-chunk hit counts — the kernel runs a
-    # dynamic-bound loop over exactly these
-    hitlist = jnp.argsort(~hits, axis=-1, stable=True).astype(jnp.int32)
-    counts = hits.sum(-1).astype(jnp.int32)
     seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
 
     kern = functools.partial(

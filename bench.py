@@ -74,6 +74,22 @@ def main():
     samples = nz * nc * nro * work
     msps = samples / dt / 1e6
     frames_s = nz / dt
+
+    # accuracy cross-check on one frame: the Pallas path vs the independent
+    # XLA dense-einsum gridder (both at TPU-default bf16 matmul precision)
+    from tron_tpu.nufft import nufft_adjoint
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_host
+    import dataclasses
+    import jax.numpy as jnp2
+
+    win = d[:, :work]
+    angles = spoke_angles(work, "golden", 0)
+    a = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg))(win))
+    cfg_j = dataclasses.replace(cfg, backend="jnp")
+    b = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_j))(win))
+    nrmse_vs_xla = float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
     baseline_msps = 183.0  # derived reference throughput (BASELINE.md)
     print(
         json.dumps(
@@ -83,6 +99,7 @@ def main():
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msps / baseline_msps, 3),
                 "frames_per_s": round(frames_s, 2),
+                "nrmse_vs_xla_gridder": round(nrmse_vs_xla, 6),
                 "frames": nz,
                 "seconds_per_run": round(dt, 3),
                 "platform": jax.devices()[0].platform,

@@ -50,3 +50,14 @@ def test_viz_writes_pngs(tmp_path, rng):
     for p in (p1, p2, p3):
         data = open(p, "rb").read(8)
         assert data[:4] == b"\x89PNG"
+
+
+def test_raview(tmp_path, rng):
+    from tron_tpu.io import ra_write
+    from tron_tpu.viz import raview
+
+    img = (rng.standard_normal((1, 1, 16, 16, 3)) + 0j).astype(np.complex64)
+    p = tmp_path / "v.ra"
+    ra_write(img, p)
+    out = raview(str(p))
+    assert open(out, "rb").read(4) == b"\x89PNG"

@@ -5,25 +5,34 @@ Same contraction as tron_tpu.ops.grid (see the derivation there):
     out[c, Y, X] = sum_pe sum_r  B[pe, r, Y] * s[pe, r, c] * A[pe, r, X]
     A[pe, r, X] = KB(r*cos t_pe - X),  B[pe, r, Y] = KB(r*sin t_pe - Y)
 
-hand-tiled for the MXU/VMEM:
+hand-tiled for the MXU/VMEM (the "segmented" kernel; a dense-range variant
+below handles geometries too small to tile):
 
-  * grid = (tiles_y, tiles_x, pe_chunks); the output (C2, TY, TX) block is
-    revisited along the pe axis and accumulated in a fp32 VMEM scratch
-    (classic matmul accumulation pattern).
-  * per spoke (fori_loop, so VMEM temporaries are reused, not stacked), the
-    banded weight matrices A and B are generated *in VMEM* on the VPU — the
-    rational-polynomial I0 never touches HBM — then the channel-expanded
-    U = s (x) B is formed and U^T @ A runs on the MXU with fp32 accumulation.
-  * channels ride the M dimension of the matmul (M = C2*TY), so 2*nchan
+  * grid = (tiles_y, tiles_x, sign, pe_chunks); the output (TX, C2, TY)
+    block is revisited along the (sign, chunk) axes and accumulated in a
+    fp32 VMEM scratch (classic matmul accumulation pattern).
+  * the radius band of each tile is a *static* readout segment per
+    (tile, sign) — pure geometry (see _tile_segments), the tile-level lift
+    of the reference's per-point band (`src/tron.cu:501-502`).
+  * spokes are sorted by angle and per-(tile, sign, chunk) hit lists are
+    packed host-side (_culling_tables); the kernel loops over exactly the
+    hitting spokes with a dynamic fori_loop bound.
+  * per hit, the banded weight matrices A and B are generated *in VMEM* on
+    the VPU (a static Taylor-in-q polynomial — never touches HBM), the
+    channel-expanded U = s (x) B operand is written into scratch, and ONE
+    batched contraction per chunk runs on the MXU with fp32 accumulation
+    (unused tail slots get zeroed A rows, so the accumulator is
+    read-modified-written once per chunk, not once per spoke).
+  * channels ride the N dimension of the matmul (N = C2*TY), so 2*nchan
     real channels amortize one weight generation — the same register-level
     channel batching as the reference kernel (`src/tron.cu:471,518-519`),
     but on 128x128 systolic tiles.
   * no gather, no scatter, no atomics, fully deterministic.
 
 Complex data is carried as C2 = 2*nchan real planes (complex is not a native
-TPU tile type).  ``matmul_dtype="bfloat16"`` casts the A/U matmul operands
-to bf16 (fp32 accumulation via preferred_element_type) for higher MXU rate;
-the KB weights are computed in fp32 either way.
+TPU tile type).  ``matmul_dtype``: "bfloat16" (fast 1-pass; same precision
+class as XLA's own TPU einsum default), "bf16x3" (compensated 3-pass,
+~fp32), "float32" (emulated on the MXU — slow, for debugging).
 """
 
 from __future__ import annotations
@@ -209,6 +218,8 @@ def _seg_kernel(
     s_ref,      # (PE_CHUNK, nR, C2): channel-expanded samples
     out_ref,    # (TX, C2, TY) f32 output block (x-major; transposed by XLA)
     acc_ref,    # (TX, C2*TY) f32 scratch
+    a_ref,      # (PE_CHUNK*SEG, TX) mm_dtype operand scratch
+    u_ref,      # (PE_CHUNK*SEG, C2*TY) mm_dtype operand scratch
     *,
     pe_chunk: int,
     nxos: int,
@@ -233,6 +244,13 @@ def _seg_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    @pl.when((i == 0) & (j == 0) & (s == 0) & (k == 0))
+    def _first():
+        # one-time scrub: rows beyond a chunk's hit count stay stale in the
+        # U scratch (only the matching zeroed A rows neutralize them in the
+        # dot) — so the very first contents must be finite, not NaN garbage
+        u_ref[...] = jnp.zeros_like(u_ref)
+
     site = (i * tiles + j) * 2 + s
     cnt = cnt_ref[site * nch + k]
 
@@ -249,11 +267,17 @@ def _seg_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
     ).astype(jnp.float32)
 
-    def spoke(p, _):
-        # hit-compacted iteration: the host prepacked, per (tile, sign,
-        # chunk), the list of spokes whose wedge intersects this tile's
-        # sector, so every loop trip does productive work and the loop
-        # bound is the true hit count (a dynamic fori_loop bound).
+    def dot(a, u):
+        return jax.lax.dot_general(
+            a, u,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def eval_hit(p, _):
+        # hit-compacted: the host prepacked, per (tile, sign, chunk), the
+        # list of spokes whose wedge intersects this tile's sector, so
+        # every evaluation is productive work (dynamic fori_loop bound)
         slot = hl_ref[(site * nch + k) * pe_chunk + p]
         ct = ct_ref[k * pe_chunk + slot]
         st = st_ref[k * pe_chunk + slot]
@@ -261,16 +285,9 @@ def _seg_kernel(
         B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
         sp = s_ref[slot, pl.ds(seg0, seg), :]               # (SEG, C2)
         U = (sp[:, :, None] * B[:, None, :]).reshape(seg, c2 * ty)
-
-        def dot(a, u):
-            return jax.lax.dot_general(
-                a, u,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
         if passes == 1:
-            acc_ref[...] += dot(A.astype(mm_dtype), U.astype(mm_dtype))
+            a_ref[pl.ds(p * seg, seg), :] = A.astype(mm_dtype)
+            u_ref[pl.ds(p * seg, seg), :] = U.astype(mm_dtype)
         else:
             # compensated bf16x3: split both operands into hi + lo bf16
             # halves; the three cross terms recover ~fp32 accuracy on the
@@ -282,7 +299,23 @@ def _seg_kernel(
             acc_ref[...] += dot(Ah, Uh) + (dot(Ah, Ul) + dot(Al, Uh))
         return 0
 
-    jax.lax.fori_loop(0, cnt, spoke, 0)
+    jax.lax.fori_loop(0, cnt, eval_hit, 0)
+
+    if passes == 1:
+        # zero the A rows of the unused tail slots so the single batched
+        # contraction ignores whatever the U scratch holds there; then ONE
+        # dot per chunk — the fp32 accumulator is read-modified-written
+        # once per chunk instead of once per hit (the VMEM-traffic floor
+        # of the per-hit variant)
+        def zero_tail(p, _):
+            a_ref[pl.ds(p * seg, seg), :] = jnp.zeros((seg, tx), mm_dtype)
+            return 0
+
+        jax.lax.fori_loop(cnt, pe_chunk, zero_tail, 0)
+
+        @pl.when(cnt > 0)
+        def _contract():
+            acc_ref[...] += dot(a_ref[...], u_ref[...])
 
     @pl.when((k == nch - 1) & (s == 1))
     def _done():
@@ -352,7 +385,7 @@ def grid_radial2d_pallas(
     nxos: int,
     kernwidth: float,
     beta: float,
-    pe_chunk: int = 8,
+    pe_chunk: int = 16,
     tile: int = 128,
     matmul_dtype: str = "bfloat16",
     interpret: bool = False,
@@ -425,6 +458,11 @@ def _pallas_seg_impl(
     tiles = nxos // tile
     starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
 
+    # clamp pe_chunk so the batched-contraction operand scratch fits VMEM
+    itemsize = 4 if matmul_dtype == "float32" else 2
+    budget = 10 * 1024 * 1024
+    while pe_chunk > 4 and pe_chunk * seg * (c2 * tile + tile) * itemsize > budget:
+        pe_chunk //= 2
 
     s2, angles_s, nch, _, _ = _prep_samples(data, nxos, pe_chunk, angles, "prc")
     # "bfloat16": fast 1-pass; "bf16x3": compensated 3-pass (~fp32 grade);
@@ -466,6 +504,8 @@ def _pallas_seg_impl(
         ),
         scratch_shapes=[
             pltpu.VMEM((tile, c2 * tile), jnp.float32),
+            pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
+            pltpu.VMEM((pe_chunk * seg, c2 * tile), mm_dtype),
         ],
     )
     out = pl.pallas_call(

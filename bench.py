@@ -81,7 +81,6 @@ def main():
     from tron_tpu.trajectory import spoke_angles
     from tron_tpu.utils.xfer import to_host
     import dataclasses
-    import jax.numpy as jnp2
 
     win = d[:, :work]
     angles = spoke_angles(work, "golden", 0)

@@ -19,7 +19,6 @@ module is the always-available path and the behavior oracle for it.
 from __future__ import annotations
 
 import dataclasses
-import mmap as _mmap
 import os
 import warnings
 

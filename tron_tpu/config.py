@@ -63,10 +63,11 @@ class ReconConfig:
 
     # Implementation knobs
     backend: str = "auto"        # "auto" | "jnp" | "pallas"
-    compute_dtype: str = "float32"   # accumulation/weight dtype
-    matmul_dtype: str = "bfloat16"   # gridding contraction input dtype; fp32
-                                     # accumulation either way (XLA's own TPU
-                                     # einsum default is also 1-pass bf16)
+    matmul_dtype: str = "bfloat16"   # gridding contraction input dtype:
+                                     # "bfloat16" | "bf16x3" (~fp32) |
+                                     # "float32"; fp32 accumulation always
+                                     # (XLA's own TPU einsum default is
+                                     # also 1-pass bf16)
     pe_chunk: int = 8            # spokes processed per inner step in the jnp gridder
 
     def scheme_for(self, direction: str) -> str:

@@ -21,7 +21,9 @@ import time
 
 import numpy as np
 
-NFRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
+# default = the reference's full whole-body workload (956 frames,
+# src/tron.cu:926 geometry); set BENCH_FRAMES=64 for a quicker run
+NFRAMES = int(os.environ.get("BENCH_FRAMES", "956"))
 BACKEND = os.environ.get("BENCH_BACKEND", "auto")
 
 

@@ -55,3 +55,23 @@ def test_fp16_bitexact_vs_numpy(rng):
     np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
     back = native.f16_to_f32(want)
     np.testing.assert_array_equal(back, want.astype(np.float32))
+
+
+def test_read_profiles_window(tmp_path, rng):
+    """Windowed streaming read matches slicing the fully-loaded array."""
+    nc, nt, nro, npe1 = 3, 1, 8, 20
+    a = (rng.standard_normal((nc, nt, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, nt, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "w.ra"
+    py_write(a, p)
+    win = native.ra_read_profiles(p, 5, 7)
+    assert win.shape == (nc, nt, nro, 7)
+    np.testing.assert_array_equal(win, a[:, :, :, 5:12, 0])
+
+
+def test_read_profiles_out_of_range(tmp_path, rng):
+    a = rng.standard_normal((2, 1, 4, 6, 1)).astype(np.complex64)
+    p = tmp_path / "o.ra"
+    py_write(a, p)
+    with pytest.raises(IOError):
+        native.ra_read_profiles(p, 4, 10)

@@ -175,3 +175,31 @@ void f16_to_f32(const uint16_t* src, float* dst, size_t n) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Read `count` bytes of the data payload starting at byte `offset` into a
+// caller-provided buffer — the streaming window loader for sliding-window
+// recon over large acquisitions (reads only the needed profile range, the
+// role the reference's per-frame async H2D copies play, src/tron.cu:746-748).
+// Returns 0 ok, -1 io, -2 bad magic, -5 out of range.
+int ra_nat_read_region(const char* path, uint64_t offset, uint64_t count,
+                       uint8_t* buf) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  uint64_t head[6];
+  if (!read_exact(fd, head, sizeof(head))) { close(fd); return -1; }
+  if (head[0] != kMagic) { close(fd); return -2; }
+  uint64_t size = head[4], ndims = head[5];
+  if (offset + count > size) { close(fd); return -5; }
+  off_t data_start = static_cast<off_t>(8 * (6 + ndims));
+  if (lseek(fd, data_start + static_cast<off_t>(offset), SEEK_SET) < 0) {
+    close(fd);
+    return -1;
+  }
+  bool ok = read_exact(fd, buf, count);
+  close(fd);
+  return ok ? 0 : -1;
+}
+
+}  // extern "C"

@@ -80,7 +80,13 @@ def available() -> bool:
     return ensure_native()
 
 
-_ERRORS = {-1: "I/O error", -2: "bad magic", -3: "unsupported flags", -4: "alloc failed"}
+_ERRORS = {
+    -1: "I/O error",
+    -2: "bad magic",
+    -3: "unsupported flags",
+    -4: "alloc failed",
+    -5: "region out of range",
+}
 
 
 def _check(rc: int, path):
@@ -150,3 +156,36 @@ def f16_to_f32(x: np.ndarray) -> np.ndarray:
         x.size,
     )
     return out
+
+
+def ra_read_profiles(path, pe0: int, npe: int) -> np.ndarray:
+    """Stream a profile window from a 5-D radial .ra file without loading
+    the whole acquisition: returns (nc, nt, nro, npe) for profiles
+    [pe0, pe0+npe) — the windowed loader behind sliding-window recon of
+    very large files (the reference's per-frame H2D window copies,
+    src/tron.cu:738-748, as a native seek+read).
+    """
+    hdr = _py.ra_query(path)
+    nc, nt, nro = hdr.dims[0], hdr.dims[1], hdr.dims[2]
+    dtype = hdr.dtype
+    stride = nc * nt * nro * dtype.itemsize        # bytes per profile
+    offset = pe0 * stride
+    count = npe * stride
+    out = np.empty(npe * nc * nt * nro, dtype=dtype)
+    if ensure_native():
+        _lib.ra_nat_read_region.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        rc = _lib.ra_nat_read_region(
+            os.fspath(path).encode(), offset, count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        _check(rc, path)
+    else:
+        with open(path, "rb") as f:
+            f.seek(hdr.data_offset + offset)
+            buf = f.read(count)
+        out = np.frombuffer(buf, dtype=dtype).copy()
+    # on-disk order within a profile: nc fastest, then nt, then nro
+    return out.reshape(npe, nro, nt, nc).transpose(3, 2, 1, 0)

@@ -248,30 +248,21 @@ def _seg_kernel(
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    s = pl.program_id(2)
-    k = pl.program_id(3)
-    nch = pl.num_programs(3)
+    k = pl.program_id(2)
+    nch = pl.num_programs(2)
 
-    @pl.when((k == 0) & (s == 0))
+    @pl.when(k == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when((i == 0) & (j == 0) & (s == 0) & (k == 0))
+    @pl.when((i == 0) & (j == 0) & (k == 0))
     def _first():
         # one-time scrub: rows beyond a chunk's hit count stay stale in the
         # U scratch (only the matching zeroed A rows neutralize them in the
         # dot) — so the very first contents must be finite, not NaN garbage
         u_ref[...] = jnp.zeros_like(u_ref)
 
-    site = (i * tiles + j) * 2 + s
-    cnt = cnt_ref[site * nch + k]
-
     half = nxos // 2
-    seg0 = seg_ref[site]
-    # segment radii on the sublane axis, pixel coordinates on lanes
-    rseg = (
-        jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0) + seg0 - half
-    ).astype(jnp.float32)                                   # (SEG, 1)
     X = (
         jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
     ).astype(jnp.float32)
@@ -286,50 +277,61 @@ def _seg_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    def eval_hit(p, _):
-        # hit-compacted: the host prepacked, per (tile, sign, chunk), the
-        # list of spokes whose wedge intersects this tile's sector, so
-        # every evaluation is productive work (dynamic fori_loop bound)
-        slot = hl_ref[(site * nch + k) * pe_chunk + p]
-        ct = ct_ref[k * pe_chunk + slot]
-        st = st_ref[k * pe_chunk + slot]
-        A = _kb_poly(rseg * ct - X, kernwidth, kb_coeffs)   # (SEG, TX)
-        B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
-        sp = s_ref[slot, pl.ds(seg0, seg), :]               # (SEG, C2)
-        U = (sp[:, :, None] * B[:, None, :]).reshape(seg, c2 * ty)
-        if passes == 1:
-            a_ref[pl.ds(p * seg, seg), :] = A.astype(mm_dtype)
-            u_ref[pl.ds(p * seg, seg), :] = U.astype(mm_dtype)
-        else:
-            # compensated bf16x3: split both operands into hi + lo bf16
-            # halves; the three cross terms recover ~fp32 accuracy on the
-            # same MXU path (the lo*lo term is below fp32 noise)
-            Ah = A.astype(jnp.bfloat16)
-            Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
-            Uh = U.astype(jnp.bfloat16)
-            Ul = (U - Uh.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc_ref[...] += dot(Ah, Uh) + (dot(Ah, Ul) + dot(Al, Uh))
-        return 0
+    # both radius signs handled in one grid step (fewer, fatter steps: the
+    # per-step fixed cost — DMA waits, scalar setup — is a measured ~5 us)
+    for sgn in range(2):
+        site = (i * tiles + j) * 2 + sgn
+        cnt = cnt_ref[site * nch + k]
+        seg0 = seg_ref[site]
+        # segment radii on the sublane axis, pixel coordinates on lanes
+        rseg = (
+            jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0) + seg0 - half
+        ).astype(jnp.float32)                               # (SEG, 1)
 
-    jax.lax.fori_loop(0, cnt, eval_hit, 0)
-
-    if passes == 1:
-        # zero the A rows of the unused tail slots so the single batched
-        # contraction ignores whatever the U scratch holds there; then ONE
-        # dot per chunk — the fp32 accumulator is read-modified-written
-        # once per chunk instead of once per hit (the VMEM-traffic floor
-        # of the per-hit variant)
-        def zero_tail(p, _):
-            a_ref[pl.ds(p * seg, seg), :] = jnp.zeros((seg, tx), mm_dtype)
+        def eval_hit(p, _, site=site, seg0=seg0, rseg=rseg):
+            # hit-compacted: the host prepacked, per (tile, sign, chunk),
+            # the list of spokes whose wedge intersects this tile's sector,
+            # so every evaluation is productive work (dynamic loop bound)
+            slot = hl_ref[(site * nch + k) * pe_chunk + p]
+            ct = ct_ref[k * pe_chunk + slot]
+            st = st_ref[k * pe_chunk + slot]
+            A = _kb_poly(rseg * ct - X, kernwidth, kb_coeffs)   # (SEG, TX)
+            B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
+            sp = s_ref[slot, pl.ds(seg0, seg), :]               # (SEG, C2)
+            U = (sp[:, :, None] * B[:, None, :]).reshape(seg, c2 * ty)
+            if passes == 1:
+                a_ref[pl.ds(p * seg, seg), :] = A.astype(mm_dtype)
+                u_ref[pl.ds(p * seg, seg), :] = U.astype(mm_dtype)
+            else:
+                # compensated bf16x3: split both operands into hi + lo bf16
+                # halves; the three cross terms recover ~fp32 accuracy on
+                # the same MXU path (the lo*lo term is below fp32 noise)
+                Ah = A.astype(jnp.bfloat16)
+                Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+                Uh = U.astype(jnp.bfloat16)
+                Ul = (U - Uh.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc_ref[...] += dot(Ah, Uh) + (dot(Ah, Ul) + dot(Al, Uh))
             return 0
 
-        jax.lax.fori_loop(cnt, pe_chunk, zero_tail, 0)
+        jax.lax.fori_loop(0, cnt, eval_hit, 0)
 
-        @pl.when(cnt > 0)
-        def _contract():
-            acc_ref[...] += dot(a_ref[...], u_ref[...])
+        if passes == 1:
+            # zero the A rows of the unused tail slots so the single batched
+            # contraction ignores whatever the U scratch holds there; then
+            # ONE dot per (sign, chunk) — the fp32 accumulator is read-
+            # modified-written per chunk, not per spoke (the VMEM-traffic
+            # floor of the per-hit variant)
+            def zero_tail(p, _):
+                a_ref[pl.ds(p * seg, seg), :] = jnp.zeros((seg, tx), mm_dtype)
+                return 0
 
-    @pl.when((k == nch - 1) & (s == 1))
+            jax.lax.fori_loop(cnt, pe_chunk, zero_tail, 0)
+
+            @pl.when(cnt > 0)
+            def _contract():
+                acc_ref[...] += dot(a_ref[...], u_ref[...])
+
+    @pl.when(k == nch - 1)
     def _done():
         out_ref[...] = acc_ref[...].reshape(tx, c2, ty) * scale
 
@@ -507,12 +509,12 @@ def _pallas_seg_impl(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(tiles, tiles, 2, nch),
+        grid=(tiles, tiles, nch),
         in_specs=[
-            pl.BlockSpec((pe_chunk, nxos, c2), lambda i, j, s, k, *_: (k, 0, 0)),
+            pl.BlockSpec((pe_chunk, nxos, c2), lambda i, j, k, *_: (k, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (tile, c2, tile), lambda i, j, s, k, *_: (j, 0, i)
+            (tile, c2, tile), lambda i, j, k, *_: (j, 0, i)
         ),
         scratch_shapes=[
             pltpu.VMEM((tile, c2 * tile), jnp.float32),
@@ -525,7 +527,7 @@ def _pallas_seg_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nxos, c2, nxos), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(seg_starts, counts.reshape(-1), hitlist.reshape(-1), ct, st, s2)

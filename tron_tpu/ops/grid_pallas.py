@@ -403,19 +403,26 @@ def grid_radial2d_pallas(
     tile: int = 128,
     matmul_dtype: str = "bfloat16",
     interpret: bool = False,
+    windowed: bool = True,
 ) -> jnp.ndarray:
     """Adjoint gridding, Pallas TPU backend (complex in/out).
 
     data: (C, npe, nro) complex64 (or (npe, nro)); angles: (npe,).
-    Returns (C, nxos, nxos) complex64.  Dispatches to the segmented/culled
-    kernel when the geometry allows tiling, else the dense-range kernel.
+    Returns (C, nxos, nxos) complex64.  Dispatches to the windowed
+    segmented/culled kernel when the geometry allows tiling (``windowed``
+    selects the short-chord operand class), else the dense-range kernel.
     """
     if data.ndim == 2:
         return grid_radial2d_pallas(
             data[None], angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret,
+            interpret, windowed,
         )[0]
     if nxos % tile == 0 and nxos // tile >= 2:
+        if windowed:
+            return _pallas_win_impl(
+                data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+                interpret,
+            )
         return _pallas_seg_impl(
             data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
             interpret,
@@ -623,5 +630,285 @@ def _pallas_full_impl(
         interpret=interpret,
     )(kx, ky, s2)
 
+    out = out.reshape(C, 2, nxos, nxos)
+    return (out[:, 0] + 1j * out[:, 1]).astype(data.dtype)
+
+
+def _win_kernel(
+    seg_ref,    # scalar prefetch: (T2*2,) i32 long-window (segment) starts
+    cntl_ref,   # scalar prefetch: (T2*2*nch,) i32 long hits per chunk
+    hll_ref,    # scalar prefetch: (T2*2*nch*PE,) i32 long hit slots
+    cnts_ref,   # scalar prefetch: (T2*2*nch,) i32 short hits per chunk
+    hls_ref,    # scalar prefetch: (T2*2*nch*PE,) i32 short hit slots
+    w0_ref,     # scalar prefetch: (T2*2*nch*PE,) i32 short window starts
+    ct_ref,     # scalar prefetch: (npe',) f32
+    st_ref,     # scalar prefetch: (npe',) f32
+    s_ref,      # (PE, nR, C2) samples
+    out_ref,    # (TX, C2, TY) f32
+    acc_ref,    # (TX, C2*TY) f32
+    al_ref,     # (PE*SEG, TX) mm
+    ul_ref,     # (PE*SEG, C2*TY) mm
+    as_ref,     # (PE*WS, TX) mm
+    us_ref,     # (PE*WS, C2*TY) mm
+    *,
+    pe_chunk: int,
+    nxos: int,
+    seg: int,
+    ws: int,
+    tiles: int,
+    ty: int,
+    tx: int,
+    c2: int,
+    kernwidth: float,
+    kb_coeffs,
+    scale: float,
+    mm_dtype,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    nch = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i == 0) & (j == 0) & (k == 0))
+    def _first():
+        # one-time scrub: tail slots stay stale in the U scratches and are
+        # neutralized by zeroed A rows, but the first contents must be
+        # finite (not NaN garbage) for 0*x == 0 to hold
+        ul_ref[...] = jnp.zeros_like(ul_ref)
+        us_ref[...] = jnp.zeros_like(us_ref)
+
+    half = nxos // 2
+    X = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
+    ).astype(jnp.float32)
+    Y = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
+    ).astype(jnp.float32)
+
+    def dot(a, u):
+        return jax.lax.dot_general(
+            a, u,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def make_eval(site, win, a_scr, u_scr, hl, w0_for):
+        def eval_hit(p, _):
+            slot = hl[(site * nch + k) * pe_chunk + p]
+            w0 = w0_for(p, site)
+            ct = ct_ref[k * pe_chunk + slot]
+            st = st_ref[k * pe_chunk + slot]
+            rwin = (
+                jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - half
+            ).astype(jnp.float32)
+            A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
+            B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
+            sp = s_ref[slot, pl.ds(w0, win), :]
+            U = (sp[:, :, None] * B[:, None, :]).reshape(win, c2 * ty)
+            a_scr[pl.ds(p * win, win), :] = A.astype(mm_dtype)
+            u_scr[pl.ds(p * win, win), :] = U.astype(mm_dtype)
+            return 0
+
+        def zero_tail(p, _):
+            a_scr[pl.ds(p * win, win), :] = jnp.zeros((win, tx), mm_dtype)
+            return 0
+
+        return eval_hit, zero_tail
+
+    # both radius signs in one grid step; per sign: one batched contraction
+    # over the long (full-segment) hits and one over the short-chord hits
+    # (the windowed class — most outer-tile hits — at ws/seg of the cost)
+    for sgn in range(2):
+        site = (i * tiles + j) * 2 + sgn
+        seg0 = seg_ref[site]
+
+        cnt_l = cntl_ref[site * nch + k]
+        ev, zt = make_eval(
+            site, seg, al_ref, ul_ref, hll_ref, lambda p, s_=site: seg0
+        )
+        jax.lax.fori_loop(0, cnt_l, ev, 0)
+        jax.lax.fori_loop(cnt_l, pe_chunk, zt, 0)
+
+        @pl.when(cnt_l > 0)
+        def _contract_l():
+            acc_ref[...] += dot(al_ref[...], ul_ref[...])
+
+        cnt_s = cnts_ref[site * nch + k]
+        ev_s, zt_s = make_eval(
+            site, ws, as_ref, us_ref, hls_ref,
+            lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
+        )
+        jax.lax.fori_loop(0, cnt_s, ev_s, 0)
+        jax.lax.fori_loop(cnt_s, pe_chunk, zt_s, 0)
+
+        @pl.when(cnt_s > 0)
+        def _contract_s():
+            acc_ref[...] += dot(as_ref[...], us_ref[...])
+
+    @pl.when(k == nch - 1)
+    def _done():
+        out_ref[...] = acc_ref[...].reshape(tx, c2, ty) * scale
+
+
+def _chord_tables(angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws):
+    """Exact per-(tile, sign, spoke) in-tile radial chords: hit tests,
+    short/long classification, compacted hit lists, and short-window starts.
+
+    The chord [lo, hi] is the r-interval where the (sign-oriented) ray lies
+    inside the tile expanded by kw+1 — an *exact* culling test (tighter
+    than the angular-margin wedges) and the basis of the windowed U
+    optimization: most outer-tile hits have chords << the full radius
+    segment, so their operands are built on a ws-row window instead.
+    """
+    import numpy as np
+
+    tiles = nxos // tile
+    h = nxos // 2
+    ct = jnp.cos(angles_s).astype(jnp.float32)
+    st = jnp.sin(angles_s).astype(jnp.float32)
+
+    lo_list, hi_list = [], []
+    big = jnp.float32(1e9)
+    for i in range(tiles):
+        y0, y1 = i * tile - h - (kernwidth + 1), (i + 1) * tile - 1 - h + (kernwidth + 1)
+        for j in range(tiles):
+            x0, x1 = j * tile - h - (kernwidth + 1), (j + 1) * tile - 1 - h + (kernwidth + 1)
+            for sgn in (1.0, -1.0):
+                c, s = sgn * ct, sgn * st
+                rx_lo = jnp.where(c > 0, x0 / c, jnp.where(c < 0, x1 / c, -big))
+                rx_hi = jnp.where(c > 0, x1 / c, jnp.where(c < 0, x0 / c, big))
+                ry_lo = jnp.where(s > 0, y0 / s, jnp.where(s < 0, y1 / s, -big))
+                ry_hi = jnp.where(s > 0, y1 / s, jnp.where(s < 0, y0 / s, big))
+                rmin = 0.0 if sgn > 0 else 1.0  # r == 0 gridded once (sign +)
+                lo = jnp.maximum(jnp.maximum(rx_lo, ry_lo), rmin)
+                hi = jnp.minimum(jnp.minimum(rx_hi, ry_hi), float(h - 1))
+                lo_list.append(lo)
+                hi_list.append(hi)
+    lo = jnp.stack(lo_list).reshape(tiles * tiles, 2, -1)   # (T2, 2, npe')
+    hi = jnp.stack(hi_list).reshape(tiles * tiles, 2, -1)
+
+    hit = hi >= lo
+    length = hi - lo
+    short = hit & (length <= ws - 4)
+    long_ = hit & ~short
+
+    # short window start in rr-index space: sign+ -> h+floor(lo)-2,
+    # sign- -> h-ceil(hi)-2.  Crucially the padding must never cross r = 0
+    # into the other sign's territory (near the origin those rows are
+    # in-band and would double count): sign+ windows stay at idx >= h,
+    # sign- windows end at idx <= h-1 (rr <= -1).
+    w0p = jnp.clip(h + jnp.floor(lo[:, 0]) - 2, h, nxos - ws)
+    w0m = jnp.clip(h - jnp.ceil(hi[:, 1]) - 2, 0, h - ws)
+    w0 = jnp.stack([w0p, w0m], axis=1).astype(jnp.int32)    # (T2, 2, npe')
+
+    def pack(mask):
+        m = mask.reshape(tiles * tiles, 2, nch, pe_chunk)
+        hl = jnp.argsort(~m, axis=-1, stable=True).astype(jnp.int32)
+        cnt = m.sum(-1).astype(jnp.int32)
+        return cnt, hl
+
+    cnt_l, hl_l = pack(long_)
+    cnt_s, hl_s = pack(short)
+    # window starts aligned with the short hit list's compacted order
+    w0c = w0.reshape(tiles * tiles, 2, nch, pe_chunk)
+    w0s = jnp.take_along_axis(w0c, hl_s, axis=-1)
+    return cnt_l, hl_l, cnt_s, hl_s, w0s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
+        "ws",
+    ),
+)
+def _pallas_win_impl(
+    data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
+    ws=64,
+):
+    """Windowed variant of _pallas_seg_impl: exact chord culling + a
+    short-window operand class (see _chord_tables)."""
+    C, npe, nro = data.shape
+    c2 = 2 * C
+    tiles = nxos // tile
+    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
+
+    itemsize = 4 if matmul_dtype == "float32" else 2
+    budget = 10 * 1024 * 1024
+    while (
+        pe_chunk > 4
+        and pe_chunk * (seg + ws) * (c2 * tile + tile) * itemsize > budget
+    ):
+        pe_chunk //= 2
+
+    s2, angles_s, nch, _, _ = _prep_samples(data, nxos, pe_chunk, angles, "prc")
+    passes = 3 if matmul_dtype == "bf16x3" else 1
+    if passes != 1:
+        # the windowed kernel only implements the 1-pass path; fall back
+        return _pallas_seg_impl(
+            data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+            interpret,
+        )
+    mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
+    s2 = s2.astype(jnp.float32)
+    ct = jnp.cos(angles_s).astype(jnp.float32)
+    st = jnp.sin(angles_s).astype(jnp.float32)
+
+    cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
+        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws
+    )
+    seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
+
+    kern = functools.partial(
+        _win_kernel,
+        pe_chunk=pe_chunk,
+        nxos=nxos,
+        seg=seg,
+        ws=ws,
+        tiles=tiles,
+        ty=tile,
+        tx=tile,
+        c2=c2,
+        kernwidth=kernwidth,
+        kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
+        scale=1.0 / (nxos * npe),
+        mm_dtype=mm_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(tiles, tiles, nch),
+        in_specs=[
+            pl.BlockSpec((pe_chunk, nxos, c2), lambda i, j, k, *_: (k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, c2, tile), lambda i, j, k, *_: (j, 0, i)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, c2 * tile), jnp.float32),
+            pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
+            pltpu.VMEM((pe_chunk * seg, c2 * tile), mm_dtype),
+            pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
+            pltpu.VMEM((pe_chunk * ws, c2 * tile), mm_dtype),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nxos, c2, nxos), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        seg_starts, cnt_l.reshape(-1), hl_l.reshape(-1), cnt_s.reshape(-1),
+        hl_s.reshape(-1), w0s.reshape(-1), ct, st, s2,
+    )
+
+    out = jnp.transpose(out, (1, 2, 0))
     out = out.reshape(C, 2, nxos, nxos)
     return (out[:, 0] + 1j * out[:, 1]).astype(data.dtype)

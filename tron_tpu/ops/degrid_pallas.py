@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tron_tpu.ops.grid_pallas import (
-    _culling_tables,
+    _chord_tables,
     _kb_poly,
     _kb_taylor_coeffs,
     _tile_segments,
@@ -36,9 +36,12 @@ from tron_tpu.ops.grid_pallas import (
 
 
 def _degrid_kernel(
-    seg_ref,    # scalar prefetch: (tiles*tiles*2,) i32 segment starts
-    cnt_ref,    # scalar prefetch: (tiles*tiles*2*nch,) i32 hits per chunk
-    hl_ref,     # scalar prefetch: (tiles*tiles*2*nch*PE_CHUNK,) i32 hit slots
+    seg_ref,    # scalar prefetch: (tiles*tiles*2,) i32 long-window starts
+    cntl_ref,   # scalar prefetch: (tiles*tiles*2*nch,) i32 long hits/chunk
+    hll_ref,    # scalar prefetch: (tiles*tiles*2*nch*PE,) i32 long hit slots
+    cnts_ref,   # scalar prefetch: (tiles*tiles*2*nch,) i32 short hits/chunk
+    hls_ref,    # scalar prefetch: (tiles*tiles*2*nch*PE,) i32 short hit slots
+    w0_ref,     # scalar prefetch: (tiles*tiles*2*nch*PE,) i32 short win starts
     ct_ref,     # scalar prefetch: (npe',) f32 cos(theta)
     st_ref,     # scalar prefetch: (npe',) f32 sin(theta)
     g_ref,      # (C2, TY, TX) grid block (f32 planes)
@@ -48,6 +51,7 @@ def _degrid_kernel(
     pe_chunk: int,
     nxos: int,
     seg: int,
+    ws: int,
     tiles: int,
     ty: int,
     tx: int,
@@ -59,21 +63,13 @@ def _degrid_kernel(
     k = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    s = pl.program_id(3)
     nch = pl.num_programs(0)
 
-    @pl.when((i == 0) & (j == 0) & (s == 0))
+    @pl.when((i == 0) & (j == 0))
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    site = (i * tiles + j) * 2 + s
-    cnt = cnt_ref[site * nch + k]
-
     half = nxos // 2
-    seg0 = seg_ref[site]
-    rseg = (
-        jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0) + seg0 - half
-    ).astype(jnp.float32)                                   # (SEG, 1)
     X = (
         jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
     ).astype(jnp.float32)
@@ -83,28 +79,48 @@ def _degrid_kernel(
 
     G2 = g_ref[...].reshape(c2 * ty, tx).astype(mm_dtype)
 
-    def spoke(p, _):
-        slot = hl_ref[(site * nch + k) * pe_chunk + p]
-        ct = ct_ref[k * pe_chunk + slot]
-        st = st_ref[k * pe_chunk + slot]
-        A = _kb_poly(rseg * ct - X, kernwidth, kb_coeffs)   # (SEG, TX)
-        B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
-        # V[r, (c, y)] = sum_x A[r, x] * G[(c, y), x]
-        V = jax.lax.dot_general(
-            A.astype(mm_dtype), G2,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(seg, c2, ty)
-        contrib = jnp.sum(V * B[:, None, :], axis=-1)       # (SEG, C2)
-        cur = acc_ref[slot, pl.ds(seg0, seg), :]
-        acc_ref[slot, pl.ds(seg0, seg), :] = cur + contrib
-        return 0
+    def make_spoke(site, win, hl, w0_for):
+        def spoke(p, _):
+            slot = hl[(site * nch + k) * pe_chunk + p]
+            w0 = w0_for(p)
+            ct = ct_ref[k * pe_chunk + slot]
+            st = st_ref[k * pe_chunk + slot]
+            rwin = (
+                jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - half
+            ).astype(jnp.float32)
+            A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)   # (WIN, TX)
+            B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)   # (WIN, TY)
+            # V[r, (c, y)] = sum_x A[r, x] * G[(c, y), x]
+            V = jax.lax.dot_general(
+                A.astype(mm_dtype), G2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(win, c2, ty)
+            contrib = jnp.sum(V * B[:, None, :], axis=-1)       # (WIN, C2)
+            cur = acc_ref[slot, pl.ds(w0, win), :]
+            acc_ref[slot, pl.ds(w0, win), :] = cur + contrib
+            return 0
 
-    jax.lax.fori_loop(0, cnt, spoke, 0)
+        return spoke
 
-    @pl.when(
-        (i == pl.num_programs(1) - 1) & (j == pl.num_programs(2) - 1) & (s == 1)
-    )
+    for sgn in range(2):
+        site = (i * tiles + j) * 2 + sgn
+        seg0 = seg_ref[site]
+        cnt_l = cntl_ref[site * nch + k]
+        jax.lax.fori_loop(
+            0, cnt_l, make_spoke(site, seg, hll_ref, lambda p: seg0), 0
+        )
+        cnt_s = cnts_ref[site * nch + k]
+        jax.lax.fori_loop(
+            0, cnt_s,
+            make_spoke(
+                site, ws, hls_ref,
+                lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
+            ),
+            0,
+        )
+
+    @pl.when((i == pl.num_programs(1) - 1) & (j == pl.num_programs(2) - 1))
     def _done():
         out_ref[...] = acc_ref[...]
 
@@ -142,8 +158,9 @@ def _degrid_pallas_impl(
         angles_s = jnp.pad(angles_s, (0, pad), mode="edge")
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
-    counts, hitlist = _culling_tables(
-        angles_s, nxos, tile, kernwidth, nonempty, nch, pe_chunk, cull
+    ws = 64
+    cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
+        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws
     )
     seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
 
@@ -156,6 +173,7 @@ def _degrid_pallas_impl(
         pe_chunk=pe_chunk,
         nxos=nxos,
         seg=seg,
+        ws=ws,
         tiles=tiles,
         ty=tile,
         tx=tile,
@@ -166,13 +184,13 @@ def _degrid_pallas_impl(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(nch, tiles, tiles, 2),
+        num_scalar_prefetch=8,
+        grid=(nch, tiles, tiles),
         in_specs=[
-            pl.BlockSpec((c2, tile, tile), lambda k, i, j, s, *_: (0, i, j)),
+            pl.BlockSpec((c2, tile, tile), lambda k, i, j, *_: (0, i, j)),
         ],
         out_specs=pl.BlockSpec(
-            (pe_chunk, nro, c2), lambda k, i, j, s, *_: (k, 0, 0)
+            (pe_chunk, nro, c2), lambda k, i, j, *_: (k, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((pe_chunk, nro, c2), jnp.float32),
@@ -183,10 +201,13 @@ def _degrid_pallas_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nch * pe_chunk, nro, c2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(seg_starts, counts.reshape(-1), hitlist.reshape(-1), ct, st, g2)
+    )(
+        seg_starts, cnt_l.reshape(-1), hl_l.reshape(-1), cnt_s.reshape(-1),
+        hl_s.reshape(-1), w0s.reshape(-1), ct, st, g2,
+    )
 
     out = out[:npe]                                   # (npe, nro, c2) sorted
     # undo the angle sort and reassemble complex channels

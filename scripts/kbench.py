@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Gridding-kernel micro-benchmark for A/B-ing Pallas variants on TPU.
+
+Times one whole-body frame geometry (nc=6, nro=512, npe1work=204, 512^2
+oversampled grid) through grid_radial2d_pallas, vmapped over a frame batch
+to amortize dispatch, exactly like the recon pipeline does.
+
+Usage: python scripts/kbench.py [--frames 64] [--windowed/--no-windowed]
+       [--pe-chunk 16] [--reps 5] [--dtype bfloat16]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--nc", type=int, default=6)
+    p.add_argument("--nro", type=int, default=512)
+    p.add_argument("--npe", type=int, default=204)
+    p.add_argument("--pe-chunk", type=int, default=16)
+    p.add_argument("--tile", type=int, default=128)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--no-windowed", dest="windowed", action="store_false")
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--check", action="store_true", help="NRMSE vs XLA gridder")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.utils import enable_compilation_cache
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    enable_compilation_cache()
+
+    from tron_tpu.kernels.kb import kb_beta
+    from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
+    from tron_tpu.trajectory import spoke_angles
+
+    nf, nc, npe, nro = args.frames, args.nc, args.npe, args.nro
+    nxos = 2 * nro // 2 * 2  # oversampled grid = nro for radial (osf=2 on n=256)
+    nxos = nro
+    kernwidth = 2.0
+    beta = kb_beta(kernwidth, 2.0)
+
+    rng = np.random.default_rng(0)
+    data = (
+        rng.standard_normal((nf, nc, npe, nro))
+        + 1j * rng.standard_normal((nf, nc, npe, nro))
+    ).astype(np.complex64)
+    # per-frame golden-angle windows (sliding by 21), like the recon
+    angles = np.stack(
+        [np.asarray(spoke_angles(npe, "golden", 21 * f)) for f in range(nf)]
+    ).astype(np.float32)
+
+    d = to_device(data)
+    a = jnp.asarray(angles)
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda x, ang: grid_radial2d_pallas(
+                x, ang, nxos, kernwidth, beta,
+                pe_chunk=args.pe_chunk, tile=args.tile,
+                matmul_dtype=args.dtype, windowed=args.windowed,
+            )
+        )
+    )
+
+    def run(x):
+        return float(jnp.sum(jnp.abs(fn(x, a).real)))
+
+    t0 = time.perf_counter()
+    run(d)
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s")
+    run(d * 1.0001)
+
+    t0 = time.perf_counter()
+    for i in range(args.reps):
+        run(d * (1.0 + 1e-4 * i))
+    dt = (time.perf_counter() - t0) / args.reps
+    ms_frame = dt / nf * 1e3
+    msps = nf * nc * npe * nro / dt / 1e6
+    print(
+        f"frames={nf} windowed={args.windowed} pe_chunk={args.pe_chunk} "
+        f"dtype={args.dtype}: {ms_frame:.3f} ms/frame  {msps:.1f} Msamp/s"
+    )
+
+    if args.check:
+        from tron_tpu.ops.grid import grid_radial2d
+
+        g = jax.jit(
+            lambda x, ang: grid_radial2d(
+                x, ang, nxos, kernwidth, beta, matmul_dtype="float32"
+            )
+        )
+        ref = to_host(g(d[0], a[0]))
+        got = to_host(fn(d[:1], a[:1])[0])
+        err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        print(f"nrmse_vs_xla_fp32: {err:.3e}")
+
+
+if __name__ == "__main__":
+    main()

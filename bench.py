@@ -77,19 +77,52 @@ def main():
     msps = samples / dt / 1e6
     frames_s = nz / dt
 
-    # accuracy cross-check on one frame: the Pallas path vs the independent
-    # XLA dense-einsum gridder (both at TPU-default bf16 matmul precision)
-    from tron_tpu.nufft import nufft_adjoint
+    # --- accuracy story (structured data, fp32 anchor) ---------------------
+    # One whole-body-geometry frame of phantom-derived multicoil data
+    # (analytic Shepp-Logan x birdcage coils, degridded to the golden-angle
+    # trajectory), reconstructed three ways: Pallas bf16 (the headline
+    # path), Pallas bf16x3 (--precision accurate), and the XLA dense-einsum
+    # gridder forced to fp32-grade matmul precision as the anchor.  The
+    # BASELINE.md gate: accurate-mode NRMSE < 1e-3 vs the fp32 anchor.
+    from tron_tpu.nufft import nufft_adjoint, nufft_forward
+    from tron_tpu.phantom import birdcage_sensitivities, shepp_logan
     from tron_tpu.trajectory import spoke_angles
     from tron_tpu.utils.xfer import to_host
     import dataclasses
 
-    win = d[:, :work]
+    n = nro // 2
+    img = shepp_logan(n)[None] * birdcage_sensitivities(n, nc)
     angles = spoke_angles(work, "golden", 0)
-    a = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg))(win))
     cfg_j = dataclasses.replace(cfg, backend="jnp")
-    b = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_j))(win))
-    nrmse_vs_xla = float(np.linalg.norm(a - b) / np.linalg.norm(b))
+    imgd = to_device(img.astype(np.complex64))
+    data_s = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=nro))(imgd)
+
+    a16 = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg))(data_s))
+    cfg_a = dataclasses.replace(cfg, matmul_dtype="bf16x3")
+    a163 = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_a))(data_s))
+    with jax.default_matmul_precision("float32"):
+        ref = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_j))(data_s))
+
+    def nrmse(x, y):
+        return float(np.linalg.norm(x - y) / np.linalg.norm(y))
+
+    nrmse_bf16, nrmse_bf16x3 = nrmse(a16, ref), nrmse(a163, ref)
+
+    # bf16x3 (--precision accurate) throughput over a short frame subset
+    nz_a = min(64, nz)
+    da = d[:, : work + (nz_a - 1) * slide]
+
+    def run_acc(x):
+        out = recon_frames(x, cfg_a, work, slide, nz_a)
+        return float(jnp.sum(jnp.abs(out)))
+
+    run_acc(da)
+    run_acc(da * 1.0001)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        run_acc(da * (1.0 + 0.0001 * i))
+    dt_a = (time.perf_counter() - t0) / reps
+    msps_acc = nz_a * nc * nro * work / dt_a / 1e6
 
     baseline_msps = 183.0  # derived reference throughput (BASELINE.md)
     print(
@@ -100,7 +133,9 @@ def main():
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msps / baseline_msps, 3),
                 "frames_per_s": round(frames_s, 2),
-                "nrmse_vs_xla_gridder": round(nrmse_vs_xla, 6),
+                "nrmse_bf16_vs_fp32": round(nrmse_bf16, 6),
+                "nrmse_accurate_vs_fp32": round(nrmse_bf16x3, 7),
+                "accurate_msamples_per_s": round(msps_acc, 2),
                 "frames": nz,
                 "seconds_per_run": round(dt, 3),
                 "platform": jax.devices()[0].platform,

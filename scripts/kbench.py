@@ -27,6 +27,7 @@ def main():
     p.add_argument("--no-windowed", dest="windowed", action="store_false")
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--check", action="store_true", help="NRMSE vs XLA gridder")
+    p.add_argument("--op", default="grid", choices=["grid", "degrid"])
     args = p.parse_args()
 
     import jax
@@ -60,15 +61,33 @@ def main():
     d = to_device(data)
     a = jnp.asarray(angles)
 
-    fn = jax.jit(
-        jax.vmap(
-            lambda x, ang: grid_radial2d_pallas(
-                x, ang, nxos, kernwidth, beta,
-                pe_chunk=args.pe_chunk, tile=args.tile,
-                matmul_dtype=args.dtype, windowed=args.windowed,
+    if args.op == "degrid":
+        from tron_tpu.ops.degrid_pallas import degrid_radial2d_pallas
+
+        grids = (
+            rng.standard_normal((nf, nc, nxos, nxos))
+            + 1j * rng.standard_normal((nf, nc, nxos, nxos))
+        ).astype(np.complex64)
+        d = to_device(grids)
+        fn = jax.jit(
+            jax.vmap(
+                lambda g, ang: degrid_radial2d_pallas(
+                    g, ang, nxos, kernwidth, beta,
+                    pe_chunk=args.pe_chunk, tile=args.tile,
+                    matmul_dtype=args.dtype,
+                )
             )
         )
-    )
+    else:
+        fn = jax.jit(
+            jax.vmap(
+                lambda x, ang: grid_radial2d_pallas(
+                    x, ang, nxos, kernwidth, beta,
+                    pe_chunk=args.pe_chunk, tile=args.tile,
+                    matmul_dtype=args.dtype, windowed=args.windowed,
+                )
+            )
+        )
 
     def run(x):
         return float(jnp.sum(jnp.abs(fn(x, a).real)))
@@ -93,9 +112,7 @@ def main():
         from tron_tpu.ops.grid import grid_radial2d
 
         g = jax.jit(
-            lambda x, ang: grid_radial2d(
-                x, ang, nxos, kernwidth, beta, matmul_dtype="float32"
-            )
+            lambda x, ang: grid_radial2d(x, ang, nxos, kernwidth, beta)
         )
         ref = to_host(g(d[0], a[0]))
         got = to_host(fn(d[:1], a[:1])[0])

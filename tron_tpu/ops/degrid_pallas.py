@@ -95,8 +95,19 @@ def _degrid_kernel(
                 A.astype(mm_dtype), G2,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(win, c2, ty)
-            contrib = jnp.sum(V * B[:, None, :], axis=-1)       # (WIN, C2)
+            )                                                   # (WIN, C2*TY)
+            # per-channel 2D lane-slice reductions: reshaping V to
+            # (win, c2, ty) relayouts `win` onto sublanes (transpose-shaped,
+            # slow on Mosaic) — same fix as grid_pallas._expand_u
+            contrib = jnp.concatenate(
+                [
+                    jnp.sum(
+                        V[:, c * ty : (c + 1) * ty] * B, axis=-1, keepdims=True
+                    )
+                    for c in range(c2)
+                ],
+                axis=-1,
+            )                                                   # (WIN, C2)
             cur = acc_ref[slot, pl.ds(w0, win), :]
             acc_ref[slot, pl.ds(w0, win), :] = cur + contrib
             return 0

@@ -46,6 +46,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tron_tpu.ops.grid import _radius_map
 
+def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None):
+    """Write U[(p*win..), (c,y)] = sp[., c] * B[., y] into the operand
+    scratch as c2 clean 2D (rows, ty) stores at static lane offsets.
+
+    Writing per-channel slices (instead of flattening a 3D
+    (rows, c2, ty) product into (rows, c2*ty)) avoids a Mosaic relayout
+    that moved `rows` from the outer dim onto sublanes — a transpose-shaped
+    shuffle that dominated the kernel (measured: 3.87 -> 3.00 ms/frame on
+    the whole-body geometry when this landed).
+
+    With ``lo_scr`` (compensated bf16x3 mode), the fp32 product is split
+    into hi + lo bfloat16 halves written to the two scratches."""
+    for c in range(c2):
+        u = sp[:, c : c + 1] * B
+        uh = u.astype(mm_dtype)
+        u_scr[pl.ds(p * win, win), pl.ds(c * ty, ty)] = uh
+        if lo_scr is not None:
+            lo_scr[pl.ds(p * win, win), pl.ds(c * ty, ty)] = (
+                u - uh.astype(jnp.float32)
+            ).astype(mm_dtype)
+
+
+def _store_a(a_scr, p, win, A, mm_dtype, lo_scr=None):
+    """Store the A operand rows (hi half + optional bf16x3 lo half)."""
+    ah = A.astype(mm_dtype)
+    a_scr[pl.ds(p * win, win), :] = ah
+    if lo_scr is not None:
+        lo_scr[pl.ds(p * win, win), :] = (A - ah.astype(jnp.float32)).astype(
+            mm_dtype
+        )
+
 
 def _kb_taylor_coeffs(kernwidth: float, beta: float, degree: int = 9):
     """Static coefficients of KB(x) = 0.5/kw * I0(beta*sqrt(q)), q = 1-(x/kw)^2,
@@ -298,11 +329,11 @@ def _seg_kernel(
             A = _kb_poly(rseg * ct - X, kernwidth, kb_coeffs)   # (SEG, TX)
             B = _kb_poly(rseg * st - Y, kernwidth, kb_coeffs)   # (SEG, TY)
             sp = s_ref[slot, pl.ds(seg0, seg), :]               # (SEG, C2)
-            U = (sp[:, :, None] * B[:, None, :]).reshape(seg, c2 * ty)
             if passes == 1:
                 a_ref[pl.ds(p * seg, seg), :] = A.astype(mm_dtype)
-                u_ref[pl.ds(p * seg, seg), :] = U.astype(mm_dtype)
+                _expand_u(u_ref, p, seg, sp, B, c2, ty, mm_dtype)
             else:
+                U = (sp[:, :, None] * B[:, None, :]).reshape(seg, c2 * ty)
                 # compensated bf16x3: split both operands into hi + lo bf16
                 # halves; the three cross terms recover ~fp32 accuracy on
                 # the same MXU path (the lo*lo term is below fp32 noise)
@@ -646,11 +677,8 @@ def _win_kernel(
     s_ref,      # (PE, nR, C2) samples
     out_ref,    # (TX, C2, TY) f32
     acc_ref,    # (TX, C2*TY) f32
-    al_ref,     # (PE*SEG, TX) mm
-    ul_ref,     # (PE*SEG, C2*TY) mm
-    as_ref,     # (PE*WS, TX) mm
-    us_ref,     # (PE*WS, C2*TY) mm
-    *,
+    *scratch,   # (PE*SEG, TX), (PE*SEG, C2*TY), (PE*WS, TX), (PE*WS, C2*TY)
+                # mm-dtype operand scratches; doubled (hi + lo) for bf16x3
     pe_chunk: int,
     nxos: int,
     seg: int,
@@ -663,7 +691,13 @@ def _win_kernel(
     kb_coeffs,
     scale: float,
     mm_dtype,
+    passes: int = 1,
 ):
+    if passes == 1:
+        al_ref, ul_ref, as_ref, us_ref = scratch
+        al2_ref = ul2_ref = as2_ref = us2_ref = None
+    else:
+        al_ref, ul_ref, as_ref, us_ref, al2_ref, ul2_ref, as2_ref, us2_ref = scratch
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -680,6 +714,9 @@ def _win_kernel(
         # finite (not NaN garbage) for 0*x == 0 to hold
         ul_ref[...] = jnp.zeros_like(ul_ref)
         us_ref[...] = jnp.zeros_like(us_ref)
+        if passes != 1:
+            ul2_ref[...] = jnp.zeros_like(ul2_ref)
+            us2_ref[...] = jnp.zeros_like(us2_ref)
 
     half = nxos // 2
     X = (
@@ -696,7 +733,7 @@ def _win_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    def make_eval(site, win, a_scr, u_scr, hl, w0_for):
+    def make_eval(site, win, a_scr, u_scr, hl, w0_for, a2_scr, u2_scr):
         def eval_hit(p, _):
             slot = hl[(site * nch + k) * pe_chunk + p]
             w0 = w0_for(p, site)
@@ -708,13 +745,14 @@ def _win_kernel(
             A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
             B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
             sp = s_ref[slot, pl.ds(w0, win), :]
-            U = (sp[:, :, None] * B[:, None, :]).reshape(win, c2 * ty)
-            a_scr[pl.ds(p * win, win), :] = A.astype(mm_dtype)
-            u_scr[pl.ds(p * win, win), :] = U.astype(mm_dtype)
+            _store_a(a_scr, p, win, A, mm_dtype, a2_scr)
+            _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, u2_scr)
             return 0
 
         def zero_tail(p, _):
             a_scr[pl.ds(p * win, win), :] = jnp.zeros((win, tx), mm_dtype)
+            if a2_scr is not None:
+                a2_scr[pl.ds(p * win, win), :] = jnp.zeros((win, tx), mm_dtype)
             return 0
 
         return eval_hit, zero_tail
@@ -728,7 +766,8 @@ def _win_kernel(
 
         cnt_l = cntl_ref[site * nch + k]
         ev, zt = make_eval(
-            site, seg, al_ref, ul_ref, hll_ref, lambda p, s_=site: seg0
+            site, seg, al_ref, ul_ref, hll_ref, lambda p, s_=site: seg0,
+            al2_ref, ul2_ref,
         )
         jax.lax.fori_loop(0, cnt_l, ev, 0)
         jax.lax.fori_loop(cnt_l, pe_chunk, zt, 0)
@@ -736,11 +775,17 @@ def _win_kernel(
         @pl.when(cnt_l > 0)
         def _contract_l():
             acc_ref[...] += dot(al_ref[...], ul_ref[...])
+            if passes != 1:
+                # compensated bf16x3: hi*lo cross terms recover ~fp32
+                # (the lo*lo term is below fp32 noise)
+                acc_ref[...] += dot(al_ref[...], ul2_ref[...])
+                acc_ref[...] += dot(al2_ref[...], ul_ref[...])
 
         cnt_s = cnts_ref[site * nch + k]
         ev_s, zt_s = make_eval(
             site, ws, as_ref, us_ref, hls_ref,
             lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
+            as2_ref, us2_ref,
         )
         jax.lax.fori_loop(0, cnt_s, ev_s, 0)
         jax.lax.fori_loop(cnt_s, pe_chunk, zt_s, 0)
@@ -748,6 +793,9 @@ def _win_kernel(
         @pl.when(cnt_s > 0)
         def _contract_s():
             acc_ref[...] += dot(as_ref[...], us_ref[...])
+            if passes != 1:
+                acc_ref[...] += dot(as_ref[...], us2_ref[...])
+                acc_ref[...] += dot(as2_ref[...], us_ref[...])
 
     @pl.when(k == nch - 1)
     def _done():
@@ -837,22 +885,17 @@ def _pallas_win_impl(
     tiles = nxos // tile
     starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
 
+    passes = 3 if matmul_dtype == "bf16x3" else 1
     itemsize = 4 if matmul_dtype == "float32" else 2
-    budget = 10 * 1024 * 1024
+    nscr = 2 if passes != 1 else 1  # hi (+ lo) operand scratch pairs
+    budget = 12 * 1024 * 1024
     while (
         pe_chunk > 4
-        and pe_chunk * (seg + ws) * (c2 * tile + tile) * itemsize > budget
+        and nscr * pe_chunk * (seg + ws) * (c2 * tile + tile) * itemsize > budget
     ):
         pe_chunk //= 2
 
     s2, angles_s, nch, _, _ = _prep_samples(data, nxos, pe_chunk, angles, "prc")
-    passes = 3 if matmul_dtype == "bf16x3" else 1
-    if passes != 1:
-        # the windowed kernel only implements the 1-pass path; fall back
-        return _pallas_seg_impl(
-            data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret,
-        )
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
     s2 = s2.astype(jnp.float32)
     ct = jnp.cos(angles_s).astype(jnp.float32)
@@ -877,8 +920,15 @@ def _pallas_win_impl(
         kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
         scale=1.0 / (nxos * npe),
         mm_dtype=mm_dtype,
+        passes=passes,
     )
 
+    operand_scratch = [
+        pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
+        pltpu.VMEM((pe_chunk * seg, c2 * tile), mm_dtype),
+        pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
+        pltpu.VMEM((pe_chunk * ws, c2 * tile), mm_dtype),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(tiles, tiles, nch),
@@ -888,13 +938,8 @@ def _pallas_win_impl(
         out_specs=pl.BlockSpec(
             (tile, c2, tile), lambda i, j, k, *_: (j, 0, i)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tile, c2 * tile), jnp.float32),
-            pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
-            pltpu.VMEM((pe_chunk * seg, c2 * tile), mm_dtype),
-            pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
-            pltpu.VMEM((pe_chunk * ws, c2 * tile), mm_dtype),
-        ],
+        scratch_shapes=[pltpu.VMEM((tile, c2 * tile), jnp.float32)]
+        + operand_scratch * nscr,
     )
     out = pl.pallas_call(
         kern,

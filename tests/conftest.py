@@ -7,18 +7,27 @@ before any backend initialization."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# TRON_TPU_TESTS=1 leaves the real TPU platform in place so the hardware
+# parity suite (tests/test_tpu_parity.py) can run; everything else skips
+# itself on TPU just like the TPU suite skips itself on CPU.
+_USE_TPU = os.environ.get("TRON_TPU_TESTS", "") not in ("", "0")
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass  # XLA_FLAGS fallback above
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # XLA_FLAGS fallback above
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

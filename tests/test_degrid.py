@@ -74,3 +74,29 @@ def test_forward_beatty_beta():
     got = np.asarray(nufft_forward(jnp.asarray(img), jnp.asarray(angles), cfg, nro=nro))
     want = np.asarray(dtft2(jnp.asarray(img), kx, ky, nro)).reshape(npe, nro)
     assert nrmse(got, want) < 2e-3
+
+
+def test_wrap_edge_patch_matches_dense_wrap(rng):
+    """Clip-mode degrid + the boundary-column wrap patch must equal the
+    dense wrap-mode degrid exactly (the reference's periodic domain,
+    src/tron.cu:569-570) — this is the fixup the Pallas forward path uses."""
+    from tron_tpu.kernels.kb import kb_beta
+    from tron_tpu.nufft import _patch_degrid_wrap_edges
+    from tron_tpu.ops.degrid import _degrid_dense
+
+    n, C, npe = 64, 2, 37
+    kw, beta = 2.0, kb_beta(2.0, 2.0)
+    g = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
+        np.complex64
+    )
+    G = jnp.asarray(g)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 2))
+    clip = _degrid_dense(G, angles, n, kw, beta, wrap=False)
+    want = np.asarray(_degrid_dense(G, angles, n, kw, beta, wrap=True))
+    got = np.asarray(_patch_degrid_wrap_edges(clip, G, angles, n, kw, beta))
+    # fp32 summation-order noise only (different einsum orders)
+    assert nrmse(got, want) < 1e-6
+    edge = np.r_[0:4, n - 4 : n]
+    assert nrmse(got[..., edge], want[..., edge]) < 1e-6
+    # and the patch must actually change something (the wrap matters at edges)
+    assert nrmse(np.asarray(clip), want) > 1e-4

@@ -1,7 +1,8 @@
 """Hardware parity checks — run on a real TPU (skipped on the CPU test
 mesh): the compiled Pallas kernels must match the XLA reference backends at
-the bf16 noise floor across geometries.  These are the tests behind the
-numbers in NOTES.md; run with JAX_PLATFORMS unset on a TPU host:
+the bf16 noise floor (and at ~fp32 in bf16x3 mode) across geometries, with
+no masked regions.  These are the tests behind the numbers in NOTES.md; run
+with JAX_PLATFORMS unset on a TPU host:
 
     JAX_PLATFORMS= python -m pytest tests/test_tpu_parity.py -q --no-header
 """
@@ -24,53 +25,157 @@ def _tpu():
 
 pytestmark = pytest.mark.skipif(not _tpu(), reason="needs real TPU hardware")
 
+KW = 2.0
 
-@pytest.mark.parametrize("nxos", [256, 512])
-def test_grid_pallas_vs_xla_on_tpu(rng, nxos):
+
+def _beta():
+    from tron_tpu.kernels.kb import kb_beta
+
+    return kb_beta(KW, 2.0)
+
+
+def _nrmse(a, b):
+    return float(np.linalg.norm(a - b) / np.linalg.norm(b))
+
+
+# 4 geometries: small, non-power-of-two grid, whole-body, and a
+# non-multiple-of-pe_chunk npe with skip
+@pytest.mark.parametrize(
+    "nxos,npe,skip",
+    [(256, 41, 3), (384, 96, 0), (512, 204, 21), (256, 33, 7)],
+)
+def test_grid_pallas_vs_xla_on_tpu(rng, nxos, npe, skip):
     import jax
-    import jax.numpy as jnp
 
     from tron_tpu.config import AngleScheme
-    from tron_tpu.kernels.kb import kb_beta
     from tron_tpu.ops.grid import grid_radial2d
     from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
     from tron_tpu.trajectory import spoke_angles
     from tron_tpu.utils.xfer import to_device, to_host
 
-    C, npe = 3, 41
-    kw, beta = 2.0, kb_beta(2.0, 2.0)
+    import jax.numpy as jnp
+
+    C = 3
     data = (
         rng.standard_normal((C, npe, nxos)) + 1j * rng.standard_normal((C, npe, nxos))
     ).astype(np.complex64)
-    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 3))
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, skip))
     d = to_device(data)
-    got = to_host(grid_radial2d_pallas(d, angles, nxos, kw, beta))
-    want = to_host(jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(d, angles, nxos, kw, beta))
-    err = np.linalg.norm(got - want) / np.linalg.norm(want)
-    assert err < 1e-2, f"nxos={nxos}: {err:.2e}"
+    got = to_host(grid_radial2d_pallas(d, angles, nxos, KW, _beta()))
+    want = to_host(
+        jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(d, angles, nxos, KW, _beta())
+    )
+    err = _nrmse(got, want)
+    assert err < 1e-2, f"nxos={nxos} npe={npe}: {err:.2e}"
 
 
-def test_degrid_pallas_vs_dense_on_tpu(rng):
+def test_grid_pallas_bf16x3_fp32_grade_on_tpu(rng):
+    """Compensated bf16x3 vs the XLA gridder forced to fp32-grade matmuls:
+    must be <= 1e-4 (the 'accurate' mode's contract)."""
     import jax
     import jax.numpy as jnp
 
     from tron_tpu.config import AngleScheme
-    from tron_tpu.kernels.kb import kb_beta
-    from tron_tpu.ops.degrid import _degrid_dense
-    from tron_tpu.ops.degrid_pallas import degrid_radial2d_pallas
+    from tron_tpu.ops.grid import grid_radial2d
+    from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
     from tron_tpu.trajectory import spoke_angles
     from tron_tpu.utils.xfer import to_device, to_host
 
-    n, C, npe = 256, 2, 33
-    kw, beta = 2.0, kb_beta(2.0, 2.0)
-    g = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
+    nxos, C, npe = 512, 3, 204
+    data = (
+        rng.standard_normal((C, npe, nxos)) + 1j * rng.standard_normal((C, npe, nxos))
+    ).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
+    d = to_device(data)
+    got = to_host(
+        grid_radial2d_pallas(d, angles, nxos, KW, _beta(), matmul_dtype="bf16x3")
+    )
+    with jax.default_matmul_precision("float32"):
+        want = to_host(
+            jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(
+                d, angles, nxos, KW, _beta()
+            )
+        )
+    err = _nrmse(got, want)
+    assert err < 1e-4, f"bf16x3: {err:.2e}"
+
+
+def test_degrid_pallas_full_columns_on_tpu(rng):
+    """Forward degrid via the Pallas kernel + wrap edge patch vs the dense
+    wrapped XLA formulation — ALL readout columns, no masks (the wrap
+    convention of src/tron.cu:569-570 is now exact on the fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.config import AngleScheme, ReconConfig
+    from tron_tpu.nufft import nufft_forward
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    n, C, npe = 128, 2, 33
+    img = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
         np.complex64
     )
     angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
-    G = to_device(g)
-    got = to_host(degrid_radial2d_pallas(G, angles, n, kw, beta))
-    want = to_host(jax.jit(lambda x: _degrid_dense(x, angles, n, kw, beta))(G))
-    ro = np.arange(n)
-    m = (np.abs(ro - n // 2) <= n // 2 - 4) & (ro != 0)
-    err = np.linalg.norm(got[..., m] - want[..., m]) / np.linalg.norm(want[..., m])
+    imgd = to_device(img)
+    cfg_p = ReconConfig(backend="pallas")
+    cfg_j = ReconConfig(backend="jnp")
+    got = to_host(jax.jit(lambda x: nufft_forward(x, angles, cfg_p))(imgd))
+    want = to_host(jax.jit(lambda x: nufft_forward(x, angles, cfg_j))(imgd))
+    err = _nrmse(got, want)
     assert err < 1e-2, f"{err:.2e}"
+    # edge columns specifically (where clip vs wrap used to disagree)
+    edge = np.r_[0:4, got.shape[-1] - 4 : got.shape[-1]]
+    err_e = _nrmse(got[..., edge], want[..., edge])
+    assert err_e < 1e-2, f"edge columns: {err_e:.2e}"
+
+
+def test_adjoint_pipeline_parity_on_tpu(rng):
+    """Full adjoint recon (SDC -> grid -> IFFT -> crop -> deapod) on
+    structured phantom multicoil data: Pallas vs jnp backends."""
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import nufft_adjoint, nufft_forward
+    from tron_tpu.phantom import birdcage_sensitivities, shepp_logan
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    n, nc, npe = 128, 4, 96
+    img = (shepp_logan(n)[None] * birdcage_sensitivities(n, nc)).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, "golden", 0))
+    cfg_j = ReconConfig(backend="jnp", golden_angle=True)
+    cfg_p = ReconConfig(backend="pallas", golden_angle=True)
+    imgd = to_device(img)
+    data = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=2 * n))(imgd)
+    got = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_p))(data))
+    want = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_j))(data))
+    err = _nrmse(got, want)
+    assert err < 1e-2, f"{err:.2e}"
+
+
+def test_cgnr_parity_on_tpu(rng):
+    """CGNR on the fast Pallas operator pair vs the jnp operator pair:
+    both must converge to the same image (bf16 noise floor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import nufft_forward
+    from tron_tpu.phantom import birdcage_sensitivities, shepp_logan
+    from tron_tpu.solver import cgnr_radial2d
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    n, nc, npe = 128, 3, 120
+    img = (shepp_logan(n)[None] * birdcage_sensitivities(n, nc)).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, "golden", 0))
+    cfg_j = ReconConfig(backend="jnp", golden_angle=True, niter=6)
+    cfg_p = ReconConfig(backend="pallas", golden_angle=True, niter=6)
+    imgd = to_device(img)
+    data = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=2 * n))(imgd)
+    got = to_host(jax.jit(lambda x: cgnr_radial2d(x, angles, cfg_p))(data))
+    want = to_host(jax.jit(lambda x: cgnr_radial2d(x, angles, cfg_j))(data))
+    err = _nrmse(got, want)
+    assert err < 2e-2, f"{err:.2e}"

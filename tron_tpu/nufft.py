@@ -94,6 +94,43 @@ def nufft_adjoint(
     return img
 
 
+def _patch_degrid_wrap_edges(samples, kgrid, angles, nro, kernwidth, beta):
+    """Overwrite the boundary-crossing readout columns of a clip-mode degrid
+    with exact periodic-wrap values (`src/tron.cu:569-570`).
+
+    A KB footprint can cross the grid edge only when the sample's |radius|
+    exceeds n/2 - kernwidth, i.e. the first/last ~kernwidth+1 readouts of
+    each spoke (the Pallas degrid path requires nro == n, so radii are
+    ro - n/2).  Those few columns are recomputed with the dense wrapped
+    formulation (one small MXU contraction over the full grid) and patched
+    in; every other readout is identical under wrap and clip.
+    """
+    import numpy as np
+
+    from tron_tpu.kernels.kb import kb_kernel
+
+    n = kgrid.shape[-1]
+    ekw = int(np.ceil(kernwidth)) + 1
+    idx = np.r_[0 : ekw + 1, n - ekw - 1 : n]
+    kr = (idx.astype(np.float32) / nro - 0.5) * n
+    ct = jnp.cos(angles).astype(jnp.float32)
+    st = jnp.sin(angles).astype(jnp.float32)
+    kr_j = jnp.asarray(kr)
+    xs = kr_j[None, :] * ct[:, None] + n // 2        # (npe, ne)
+    ys = kr_j[None, :] * st[:, None] + n // 2
+    grid_pos = jnp.arange(n, dtype=jnp.float32)
+
+    def wkb(d):
+        d = jnp.mod(d + n / 2, n) - n / 2
+        return kb_kernel(d, kernwidth, beta)
+
+    A = wkb(xs[..., None] - grid_pos).astype(kgrid.dtype)   # (npe, ne, n)
+    B = wkb(ys[..., None] - grid_pos).astype(kgrid.dtype)
+    V = jnp.einsum("pex,cyx->cpey", A, kgrid)
+    s = jnp.einsum("pey,cpey->cpe", B, V)                   # (C, npe, ne)
+    return samples.at[..., jnp.asarray(idx)].set(s)
+
+
 def nufft_forward(
     img: jnp.ndarray,
     angles: jnp.ndarray,
@@ -105,7 +142,12 @@ def nufft_forward(
 
     nro defaults to gridos * n (`src/tron.cu:945`).  ``wrap=False`` clips KB
     footprints at the grid edge (exact transpose of the gridding adjoint);
-    the Pallas TPU backend always clips.
+    ``wrap=True`` reproduces the reference's periodic domain
+    (`src/tron.cu:569-570`).  The Pallas TPU kernel itself clips; under
+    wrap=True the handful of boundary-crossing readouts (those with
+    |radius| within kernwidth+1 of the grid edge) are recomputed exactly
+    with the dense wrapped formulation and patched in — wrap and clip can
+    only differ there.
     """
     n = img.shape[-1]
     nxos = int(n * cfg.gridos)
@@ -130,6 +172,10 @@ def nufft_forward(
                         cfg.matmul_dtype if cfg.matmul_dtype == "float32" else "bfloat16"
                     ),
                 )
+                if wrap:
+                    out = _patch_degrid_wrap_edges(
+                        out, flat, angles, nro, cfg.kernwidth, beta
+                    )
                 return out.reshape(batch + out.shape[-2:])
         except Exception:
             if cfg.backend == "pallas":

@@ -69,3 +69,34 @@ def test_sharded_cgnr(rng):
     got = np.asarray(recon_frames_sharded(jnp.asarray(data), cfg, mesh, work, slide, nz))
     want = np.asarray(recon_frames(jnp.asarray(data), cfg, work, slide, nz))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+
+def test_sharded_walsh_combine(rng):
+    """Walsh combine under a coil-sharded mesh (all_gather of coil shards)
+    must match the local Walsh path (up to the eigenvector's global phase,
+    which Walsh fixes to the first coil — identical on both paths)."""
+    nro, npe1, nc = 32, 24, 4
+    cfg = ReconConfig(golden_angle=True, data_undersamp=0.5, prof_slide=8,
+                      coil_combine="walsh")
+    work, slide, nz = cfg.frame_geometry(nro, npe1)
+    data = _mkdata(rng, nc, npe1, nro)
+
+    mesh = make_mesh(n_frame=4, n_coil=2)
+    got = np.asarray(recon_frames_sharded(jnp.asarray(data), cfg, mesh, work, slide, nz))
+    want = np.asarray(recon_frames(jnp.asarray(data), cfg, work, slide, nz))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_combine_none(rng):
+    """combine='none' keeps the coil axis, sharded over 'coil'."""
+    nro, npe1, nc = 32, 24, 4
+    cfg = ReconConfig(golden_angle=True, data_undersamp=0.5, prof_slide=8,
+                      coil_combine="none")
+    work, slide, nz = cfg.frame_geometry(nro, npe1)
+    data = _mkdata(rng, nc, npe1, nro)
+
+    mesh = make_mesh(n_frame=4, n_coil=2)
+    got = np.asarray(recon_frames_sharded(jnp.asarray(data), cfg, mesh, work, slide, nz))
+    want = np.asarray(recon_frames(jnp.asarray(data), cfg, work, slide, nz))
+    assert got.shape == want.shape == (nz, nc, nro // 2, nro // 2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)

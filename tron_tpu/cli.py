@@ -68,28 +68,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", action="store_true",
                    help="shard frames across all local devices (adjoint 2D "
                    "recon; single-process mesh via shard_map)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream profile windows from disk instead of loading "
+                   "the whole acquisition (adjoint 2D recon, nt == 1; the "
+                   "native windowed .ra reader feeds one compiled frame-batch "
+                   "program block by block)")
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default="img_tron.ra")
     return p
 
 
 def _recon_sharded_cli(indata, cfg):
-    """Frame-sharded adjoint recon over all local devices (nt == 1)."""
+    """Frame-sharded adjoint recon over all local devices.
+
+    Repetitions (nt > 1) loop host-side, reusing the compiled sharded step;
+    all coil-combine modes are supported (the 'none' output keeps the coil
+    axis, mirroring the local path's layout)."""
     import jax
 
     from tron_tpu.parallel import make_mesh, recon_frames_sharded
     from tron_tpu.utils.xfer import to_device, to_host
 
     nc, nt, nro, npe1 = indata.shape[:4]
-    if nt != 1:
-        raise SystemExit("--shard currently supports nt == 1")
     work, slide, nz = cfg.frame_geometry(nro, npe1)
-    d = np.ascontiguousarray(
-        np.transpose(indata.reshape(nc, nt, nro, npe1, -1)[..., 0], (1, 0, 3, 2))
-    ).reshape(nc, npe1, nro)
     mesh = make_mesh(n_frame=len(jax.devices()), n_coil=1)
-    out = recon_frames_sharded(to_device(d), cfg, mesh, work, slide, nz)
-    return to_host(out)[:, None]  # (nz, nt=1, n, n)
+    outs = []
+    for t in range(nt):
+        d = np.ascontiguousarray(
+            np.transpose(indata.reshape(nc, nt, nro, npe1, -1)[..., 0][:, t], (0, 2, 1))
+        )
+        out = recon_frames_sharded(to_device(d), cfg, mesh, work, slide, nz)
+        outs.append(to_host(out))
+    return np.stack(outs, axis=1)  # (nz, nt, [nc,] n, n)
 
 
 def main(argv=None) -> int:
@@ -117,13 +127,28 @@ def main(argv=None) -> int:
         matmul_dtype="bf16x3" if args.precision == "accurate" else "bfloat16",
     )
 
-    vprint(f"Reading {args.infile}")
-    try:
-        indata = ra_read(args.infile)
-    except (FileNotFoundError, ValueError) as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 1
-    if not np.iscomplexobj(indata):
+    stream = args.stream and cfg.adjoint and not cfg.koosh and not args.shard
+    if stream:
+        # streaming path: only the header is read here; profile windows are
+        # pulled from disk block by block inside the recon driver
+        from tron_tpu.io import ra_query
+
+        vprint(f"Querying {args.infile} (streaming)")
+        try:
+            hdr = ra_query(args.infile)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        indata = None
+        vprint(f"indims = {tuple(int(x) for x in hdr.dims)}")
+    else:
+        vprint(f"Reading {args.infile}")
+        try:
+            indata = ra_read(args.infile)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    if not stream and not np.iscomplexobj(indata):
         # float inputs: a leading dim of 2 is the re/im-pair convention of
         # the MATLAB raread/rawrite twins (src/raread.m:25-57); anything
         # else is promoted to complex (covers the fp16 storage path)
@@ -133,10 +158,14 @@ def main(argv=None) -> int:
             ).astype(np.complex64)
         else:
             indata = indata.astype(np.complex64)
-    if indata.ndim != 5:
-        print(f"error: expected 5-D .ra input, got {indata.ndim}-D", file=sys.stderr)
-        return 1
-    vprint(f"indims = {indata.shape}")
+    if not stream:
+        if indata.ndim != 5:
+            print(
+                f"error: expected 5-D .ra input, got {indata.ndim}-D",
+                file=sys.stderr,
+            )
+            return 1
+        vprint(f"indims = {indata.shape}")
 
     import jax
 
@@ -159,7 +188,11 @@ def main(argv=None) -> int:
     )
     start = time.perf_counter()
     with prof:
-        if args.shard and cfg.adjoint and not cfg.koosh:
+        if stream:
+            from tron_tpu.recon import recon_radial2d_streaming
+
+            out = recon_radial2d_streaming(args.infile, cfg)
+        elif args.shard and cfg.adjoint and not cfg.koosh:
             out = _recon_sharded_cli(indata, cfg)
         else:
             out = recon_radial2d(indata, cfg)
@@ -167,8 +200,13 @@ def main(argv=None) -> int:
     vprint(f"Elapsed time: {elapsed:.2f} s")
 
     if cfg.adjoint:
-        # out: (nz, nt, ny, nx) -> .ra dims (1, nt, nx, ny, nz)
-        arr = np.transpose(out[None], (0, 2, 4, 3, 1))
+        if out.ndim == 5:
+            # --combine none keeps the coil axis: (nz, nt, nc, ny, nx)
+            # -> .ra dims (nc, nt, nx, ny, nz)
+            arr = np.transpose(out, (2, 1, 4, 3, 0))
+        else:
+            # out: (nz, nt, ny, nx) -> .ra dims (1, nt, nx, ny, nz)
+            arr = np.transpose(out[None], (0, 2, 4, 3, 1))
     else:
         # out: (nz, nc, nt, npe1, nro) -> .ra dims (nc, nt, nro, npe1, npe2=nz)
         arr = np.transpose(out, (1, 2, 4, 3, 0))

@@ -62,8 +62,11 @@ def coil_combine_walsh(
     A = _box_filter(outer, npatch)                         # (C, C, ny, nx)
     A = jnp.moveaxis(A, (0, 1), (-2, -1))                  # (ny, nx, C, C)
 
-    # power iteration, batched over pixels (`src/tron.cu:222-253`)
-    x = jnp.ones(A.shape[:-1], dtype=coilimg.dtype)        # (ny, nx, C)
+    # power iteration, batched over pixels (`src/tron.cu:222-253`).
+    # The all-ones start vector is derived from A (x0 = 1 + 0*A[...,0]) so
+    # it inherits A's varying-manual-axes type under shard_map (a literal
+    # jnp.ones would be 'unvarying' and fail the scan carry type check).
+    x = jnp.ones_like(A[..., 0]) + 0 * A[..., 0]           # (ny, nx, C)
 
     def it(x, _):
         y = jnp.einsum("...jk,...k->...j", A, x)

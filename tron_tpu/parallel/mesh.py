@@ -52,7 +52,14 @@ def recon_frames_sharded(
 
     Frames are partitioned across the 'frame' axis, channels across 'coil';
     each device reconstructs its local (frames x coils) block and the coil
-    combine finishes with a psum over 'coil'.
+    combine finishes over the 'coil' axis per cfg.coil_combine:
+
+      * "sos" — partial sum-of-squares + psum (one scalar-image allreduce,
+        the cheapest possible collective);
+      * "walsh" — all_gather of the coil shards (Walsh's eigenvector filter
+        needs the full coil covariance), then the local Walsh combine;
+      * "none" — coil images returned with the channel axis still sharded
+        over 'coil' (output (nz, nc, n, n)).
     """
     nc, npe1, nro = data.shape
     nfr = mesh.shape["frame"]
@@ -79,6 +86,8 @@ def recon_frames_sharded(
                 )
             else:
                 coilimg = nufft_adjoint(win, angles, cfg)
+            if cfg.coil_combine != "sos":
+                return coilimg                       # (nc/ncs, n, n)
             # partial SoS + psum over the coil shards
             part = jnp.sum(jnp.abs(coilimg) ** 2, axis=0)
             total = jax.lax.psum(part, "coil")
@@ -86,11 +95,26 @@ def recon_frames_sharded(
 
         return jax.lax.map(one, jnp.arange(per), batch_size=min(per, 8))
 
+    sos = cfg.coil_combine == "sos"
     shard = jax.shard_map(
         worker,
         mesh=mesh,
         in_specs=P("coil", None, None),
-        out_specs=P("frame", None, None),
+        out_specs=(
+            P("frame", None, None) if sos else P("frame", "coil", None, None)
+        ),
     )
     out = jax.jit(shard)(data)
+    if cfg.coil_combine == "walsh":
+        # Walsh needs the full coil covariance, so it runs in a follow-up
+        # jit over the (frame-sharded, coil-sharded) coil images — GSPMD
+        # inserts the coil all_gather; frames stay data-parallel.  (Kept
+        # outside shard_map: XLA:CPU's fft thunk rejects the layouts that
+        # a manual in-shard gather + eigen-iteration forces onto the IFFT.)
+        from tron_tpu.ops.coil import coil_combine_walsh
+
+        out = jax.jit(
+            jax.vmap(lambda ci: coil_combine_walsh(ci, cfg.walsh_npatch)),
+            out_shardings=jax.sharding.NamedSharding(mesh, P("frame", None, None)),
+        )(out)
     return out[:nz]

@@ -57,13 +57,18 @@ def recon_frames(
     npe1work: int,
     prof_slide: int,
     nz: int,
+    skip0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
-    """All frames on one device. data: (nc, npe1, nro) -> (nz, n, n)."""
+    """All frames on one device. data: (nc, npe1, nro) -> (nz, n, n).
+
+    ``skip0`` is a *traced* global profile offset of data[..., 0, :] within
+    the full acquisition — the streaming driver feeds overlapping blocks of
+    a huge file through one compiled program by varying it."""
 
     def one(z):
         pe0 = z * prof_slide
         win = jax.lax.dynamic_slice_in_dim(data, pe0, npe1work, axis=-2)
-        return reconstruct_frame(win, cfg.skip_angles + pe0, cfg)
+        return reconstruct_frame(win, cfg.skip_angles + skip0 + pe0, cfg)
 
     return jax.lax.map(one, jnp.arange(nz), batch_size=min(nz, 8))
 
@@ -127,6 +132,55 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
 
         out = to_host(fwd(imgs))  # (nz, nc*nt, npe1, nro)
         return out.reshape(nz, nc, nt, npe1, nro)
+
+
+def recon_radial2d_streaming(
+    path,
+    cfg: ReconConfig,
+    batch_frames: int = 64,
+) -> np.ndarray:
+    """Sliding-window adjoint recon streamed from disk (nt == 1, adjoint).
+
+    The reference copies each frame's profile window host->device per frame
+    (`src/tron.cu:738-748`); here the acquisition never fully enters host
+    memory either: the native windowed reader (io/native.ra_read_profiles)
+    seeks out one block of profiles covering ``batch_frames`` frames at a
+    time, and every block reruns the SAME compiled frame-batch program (the
+    block's global profile offset is a traced scalar).  This is how the
+    reference-scale 500 MB whole-body acquisition (6 x 512 x 20,271) runs
+    end-to-end: ~37 MB of profiles resident per block.
+
+    Returns (nz, 1, n, n) like recon_radial2d's adjoint path (combined) or
+    (nz, 1, nc, n, n) for coil_combine='none'.
+    """
+    from tron_tpu.io import ra_query
+    from tron_tpu.io.native import ra_read_profiles
+
+    hdr = ra_query(path)
+    dims = [int(d) for d in hdr.dims]
+    nc, nt, nro, npe1 = dims[0], dims[1], dims[2], dims[3]
+    if nt != 1:
+        raise ValueError("streaming recon supports nt == 1")
+    if not cfg.adjoint or cfg.koosh:
+        raise ValueError("streaming recon is adjoint (-a), non-koosh only")
+    work, slide, nz = cfg.frame_geometry(nro, npe1)
+
+    bf = min(batch_frames, nz)
+    outs = [None] * nz
+    for z0 in range(0, nz, bf):
+        z0 = min(z0, nz - bf)  # tail block realigned (same compiled shape)
+        pe0 = z0 * slide
+        blk = ra_read_profiles(path, pe0, work + (bf - 1) * slide)
+        # (nc, nt, nro, npe) -> (nc, npe, nro)
+        d = np.ascontiguousarray(blk[:, 0].transpose(0, 2, 1))
+        if not np.iscomplexobj(d):
+            d = d.astype(np.complex64)
+        out = to_host(
+            recon_frames(to_device(d), cfg, work, slide, bf, jnp.int32(pe0))
+        )
+        for i in range(bf):
+            outs[z0 + i] = out[i]
+    return np.stack(outs)[:, None]
 
 
 def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:

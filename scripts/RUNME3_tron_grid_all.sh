@@ -31,4 +31,42 @@ done
 for i in 1 2 3; do
   timed python -m tron_tpu.cli -a -G -u 0.4 -d 21 output/ga_multicoil.ra output/ga_img_tron.ra
 done
+
+# 3) FULL reference-scale whole-body (6 x 512 x 20,271 = 498 MB, 956 frames
+#    of 256^2 — the 3.28 s CUDA headline, src/RUNME3:10) streamed from disk
+#    through the native windowed reader.  TRON_FULLSCALE=0 skips (synthesis
+#    of the fixture alone takes a few minutes).
+if [ "${TRON_FULLSCALE:-1}" != "0" ]; then
+  [ -f output/ex_whole_body.ra ] || \
+    python -m tron_tpu.tools.make_goldenangle output/ex_whole_body.ra \
+      --nc 6 --nro 512 --npe 20271
+  for i in 1 2 3; do
+    timed python -m tron_tpu.cli -a -G -u 0.4 -d 21 -v --stream \
+      output/ex_whole_body.ra output/img_cmt_tron.ra
+  done
+  python scripts/dataset_metrics.py output/img_cmt_tron.ra --data output/ex_whole_body.ra \
+    --nc 6 -G -u 0.4 -d 21 --frames 0,400,-1 --label whole_body
+fi
+
+# 4) optic-nerve-class series (reference: tron -u 0.5 -a -G, RUNME3:16-18;
+#    non-overlapping 128-profile frames)
+[ -f output/optic_nerve.ra ] || \
+  python -m tron_tpu.tools.make_goldenangle output/optic_nerve.ra \
+    --nc 4 --nro 256 --npe 2176
+for i in 1 2 3; do
+  timed python -m tron_tpu.cli -a -G -u 0.5 output/optic_nerve.ra output/img_on_tron.ra
+done
+python scripts/dataset_metrics.py output/img_on_tron.ra --data output/optic_nerve.ra \
+  --nc 4 -G -u 0.5 --frames 0,-1 --label optic_nerve
+
+# 5) swallowing-class series (reference: tron -u 0.5 -d 21 -a -G,
+#    RUNME3:20-22; 21-profile sliding window)
+[ -f output/swallowing.ra ] || \
+  python -m tron_tpu.tools.make_goldenangle output/swallowing.ra \
+    --nc 4 --nro 256 --npe 3000
+for i in 1 2 3; do
+  timed python -m tron_tpu.cli -a -G -u 0.5 -d 21 output/swallowing.ra output/img_sw_tron.ra
+done
+python scripts/dataset_metrics.py output/img_sw_tron.ra --data output/swallowing.ra \
+  --nc 4 -G -u 0.5 -d 21 --frames 0,60,-1 --label swallowing
 echo done

@@ -42,3 +42,30 @@ def test_stack_of_stars_roundtrip():
     mags = [np.abs(rec[z, 0]).mean() for z in range(nzs)]
     ratios = np.array(mags) / mags[0]
     np.testing.assert_allclose(ratios, np.arange(1, nzs + 1), rtol=0.15)
+
+
+def test_stack_of_stars_npe2_8_nt2():
+    """Scale case: 8 kz slices x 2 repetitions through the single-jit
+    device path (no per-slice host loop)."""
+    n, nzs, nt = 32, 8, 2
+    img = np.stack(
+        [_gaussian(n) * (1 + 0.25 * z) for z in range(nzs)], axis=-1
+    )  # (y, x, z)
+    vol = np.stack([img, 2 * img], axis=0).transpose(0, 2, 1, 3)[:, None]
+    # vol: (nt, 1, nx, ny, nz) -> .ra slots (nc=1? no: nc first)
+    vol = vol[None].reshape(1, nt, n, n, nzs)  # (nc=1, nt, nx, ny, nz)
+    cfg_f = ReconConfig(koosh=True, angle_scheme=AngleScheme.LINEAR_HALF, sdc="ideal")
+    data = recon_radial2d(vol.astype(np.complex64), cfg_f)
+    assert data.shape == (nzs, 1, nt, data.shape[3], 2 * n)
+
+    d5 = np.transpose(data, (1, 2, 4, 3, 0))
+    cfg_a = ReconConfig(
+        koosh=True, adjoint=True, angle_scheme=AngleScheme.LINEAR_HALF, sdc="ideal"
+    )
+    rec = recon_radial2d(np.ascontiguousarray(d5), cfg_a)
+    assert rec.shape == (nzs, nt, n, n)
+    for z in range(0, nzs, 3):
+        err = lmse(rec[z, 0], img[..., z])
+        assert err < 0.4, f"slice {z} lmse={err:.3f}"
+    # the second repetition is 2x the first (linearity end-to-end)
+    np.testing.assert_allclose(rec[:, 1], 2 * rec[:, 0], rtol=1e-3, atol=1e-5)

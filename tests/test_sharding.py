@@ -100,3 +100,14 @@ def test_sharded_combine_none(rng):
     want = np.asarray(recon_frames(jnp.asarray(data), cfg, work, slide, nz))
     assert got.shape == want.shape == (nz, nc, nro // 2, nro // 2)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_distributed_single_process_mesh():
+    """The DCN bootstrap module degenerates to the local mesh on one
+    process (frame axis = all devices), and its frame slice covers nz."""
+    from tron_tpu.parallel import distributed
+
+    mesh = distributed.make_global_mesh(n_coil=2)
+    assert mesh.shape == {"frame": 4, "coil": 2}
+    s = distributed.process_frame_slice(10)
+    assert (s.start, s.stop) == (0, 10)

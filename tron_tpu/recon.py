@@ -191,29 +191,65 @@ def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
     no 3D kernel exists); here it gets real semantics: the kz axis (npe2) is
     a centered Cartesian FFT axis, decoupled from the in-plane NUFFT, so the
     adjoint is ifft_z then per-slice 2D gridding recon and the forward is
-    per-slice degrid then fft_z.  Slices batch over the frame machinery
-    (they are embarrassingly parallel, like frames).
+    per-slice degrid then fft_z.  TPU-native: ONE host->device transfer per
+    direction, the kz FFT on device, and slices batched under the same jit
+    through the frame machinery (they are embarrassingly parallel, like
+    frames) — no per-slice host round trips.
     """
     cfg2 = dataclasses.replace(cfg, koosh=False, prof_slide=0)
     if cfg.adjoint:
         nc, nt, nro, npe1, npe2 = indata.shape[:5]
-        d = np.asarray(indata)
-        # centered inverse FFT along kz (unnormalized, cuFFT-style)
-        sl = np.fft.fftshift(
-            np.fft.ifft(np.fft.ifftshift(d, axes=4), axis=4), axes=4
-        ) * npe2
-        outs = [
-            recon_radial2d(np.ascontiguousarray(sl[..., z])[..., None], cfg2)
-            for z in range(npe2)
-        ]
-        return np.concatenate(outs, axis=0)  # (npe2, nt, n, n)
+        work, slide, nzi = cfg2.frame_geometry(nro, npe1)
+        # one 4-D upload (the axon client rejects rank-5), everything else
+        # on device under a single jit: centered kz IFFT (unnormalized,
+        # cuFFT-style), then slices batch through the same frame machinery
+        # frames use — they are embarrassingly parallel, like frames
+        dnp = np.ascontiguousarray(
+            np.transpose(np.asarray(indata), (1, 0, 3, 2, 4))
+        ).reshape(nt * nc, npe1, nro, npe2)
+        d = to_device(dnp)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def adj(d):
+            sl = jnp.fft.fftshift(
+                jnp.fft.ifft(jnp.fft.ifftshift(d, axes=-1), axis=-1), axes=-1
+            ) * npe2
+            sl = jnp.moveaxis(sl, -1, 0).reshape(npe2, nt, nc, npe1, nro)
+
+            def per_slice(sd):            # (nt, nc, npe1, nro)
+                return jax.lax.map(
+                    lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
+                )                          # (nt, nzi, n, n)
+
+            out = jax.lax.map(per_slice, sl, batch_size=min(npe2, 4))
+            # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
+            return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
+
+        return to_host(adj(d))
     else:
         nc, nt, nx, ny, nz = indata.shape[:5]
-        outs = [
-            recon_radial2d(np.ascontiguousarray(indata[..., z : z + 1]), cfg2)
-            for z in range(nz)
-        ]
-        data = np.concatenate(outs, axis=0)  # (nz, nc, nt, npe1, nro)
-        data = np.moveaxis(data, 0, -1)      # (nc, nt, npe1, nro, nz)
-        kz = np.fft.fftshift(np.fft.fft(np.fft.ifftshift(data, axes=4), axis=4), axes=4)
-        return np.moveaxis(kz, -1, 0)        # back to (nz=npe2, nc, nt, npe1, nro)
+        nro = int(cfg.gridos * nx)
+        npe1 = int(cfg.data_undersamp * nro)
+        scheme = cfg2.scheme_for("forward")
+        imgs_np = np.ascontiguousarray(
+            np.transpose(np.asarray(indata), (4, 0, 1, 3, 2))
+        ).reshape(nz, nc * nt, ny, nx)
+        imgs = to_device(imgs_np)
+
+        @jax.jit
+        def fwd(stack):
+            angles = spoke_angles(npe1, scheme, cfg.skip_angles)
+            data = jax.lax.map(
+                lambda zimg: nufft_forward(zimg, angles, cfg2, nro=nro),
+                stack,
+                batch_size=min(nz, 4),
+            )                              # (nz, nc*nt, npe1, nro)
+            # centered forward FFT along kz (unnormalized)
+            data = jnp.moveaxis(data, 0, -1)
+            kz = jnp.fft.fftshift(
+                jnp.fft.fft(jnp.fft.ifftshift(data, axes=-1), axis=-1), axes=-1
+            )
+            return jnp.moveaxis(kz, -1, 0)  # (npe2, nc*nt, npe1, nro)
+
+        out = to_host(fwd(imgs))
+        return out.reshape(nz, nc, nt, npe1, nro)

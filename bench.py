@@ -124,6 +124,23 @@ def main():
     dt_a = (time.perf_counter() - t0) / reps
     msps_acc = nz_a * nc * nro * work / dt_a / 1e6
 
+    # koosh (-3) stack-of-stars: kz slices through the single-jit device
+    # path (incl. host<->device transfers, the honest end-to-end rate)
+    from tron_tpu.recon import recon_radial2d
+
+    nro_k, npe2_k = 256, 8
+    cfg_k = dataclasses.replace(cfg, koosh=True, prof_slide=0, data_undersamp=1.0)
+    work_k = cfg_k.npe1work(nro_k, 10**9)
+    dk = (
+        rng.standard_normal((nc, 1, nro_k, work_k, npe2_k))
+        + 1j * rng.standard_normal((nc, 1, nro_k, work_k, npe2_k))
+    ).astype(np.complex64)
+    recon_radial2d(dk, cfg_k)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        recon_radial2d(dk, cfg_k)
+    koosh_slices_s = npe2_k / ((time.perf_counter() - t0) / reps)
+
     baseline_msps = 183.0  # derived reference throughput (BASELINE.md)
     print(
         json.dumps(
@@ -136,6 +153,7 @@ def main():
                 "nrmse_bf16_vs_fp32": round(nrmse_bf16, 6),
                 "nrmse_accurate_vs_fp32": round(nrmse_bf16x3, 7),
                 "accurate_msamples_per_s": round(msps_acc, 2),
+                "koosh_slices_per_s": round(koosh_slices_s, 2),
                 "frames": nz,
                 "seconds_per_run": round(dt, 3),
                 "platform": jax.devices()[0].platform,

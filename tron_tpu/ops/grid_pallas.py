@@ -38,6 +38,7 @@ class as XLA's own TPU einsum default), "bf16x3" (compensated 3-pass,
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -876,10 +877,13 @@ def _chord_tables(angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws):
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
-    ws=64,
+    ws=None,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
-    short-window operand class (see _chord_tables)."""
+    short-window operand class (see _chord_tables).  ws (the short-window
+    row count) defaults to 64; override with TRON_WS for tuning."""
+    if ws is None:
+        ws = int(_os.environ.get("TRON_WS", "64"))
     C, npe, nro = data.shape
     c2 = 2 * C
     tiles = nxos // tile
@@ -888,7 +892,7 @@ def _pallas_win_impl(
     passes = 3 if matmul_dtype == "bf16x3" else 1
     itemsize = 4 if matmul_dtype == "float32" else 2
     nscr = 2 if passes != 1 else 1  # hi (+ lo) operand scratch pairs
-    budget = 12 * 1024 * 1024
+    budget = int(_os.environ.get("TRON_VMEM_BUDGET", 12 * 1024 * 1024))
     while (
         pe_chunk > 4
         and nscr * pe_chunk * (seg + ws) * (c2 * tile + tile) * itemsize > budget

@@ -208,48 +208,55 @@ def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
             np.transpose(np.asarray(indata), (1, 0, 3, 2, 4))
         ).reshape(nt * nc, npe1, nro, npe2)
         d = to_device(dnp)
-
-        @functools.partial(jax.jit, static_argnames=())
-        def adj(d):
-            sl = jnp.fft.fftshift(
-                jnp.fft.ifft(jnp.fft.ifftshift(d, axes=-1), axis=-1), axes=-1
-            ) * npe2
-            sl = jnp.moveaxis(sl, -1, 0).reshape(npe2, nt, nc, npe1, nro)
-
-            def per_slice(sd):            # (nt, nc, npe1, nro)
-                return jax.lax.map(
-                    lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
-                )                          # (nt, nzi, n, n)
-
-            out = jax.lax.map(per_slice, sl, batch_size=min(npe2, 4))
-            # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
-            return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
-
-        return to_host(adj(d))
+        return to_host(_koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc))
     else:
         nc, nt, nx, ny, nz = indata.shape[:5]
         nro = int(cfg.gridos * nx)
         npe1 = int(cfg.data_undersamp * nro)
-        scheme = cfg2.scheme_for("forward")
         imgs_np = np.ascontiguousarray(
             np.transpose(np.asarray(indata), (4, 0, 1, 3, 2))
         ).reshape(nz, nc * nt, ny, nx)
         imgs = to_device(imgs_np)
-
-        @jax.jit
-        def fwd(stack):
-            angles = spoke_angles(npe1, scheme, cfg.skip_angles)
-            data = jax.lax.map(
-                lambda zimg: nufft_forward(zimg, angles, cfg2, nro=nro),
-                stack,
-                batch_size=min(nz, 4),
-            )                              # (nz, nc*nt, npe1, nro)
-            # centered forward FFT along kz (unnormalized)
-            data = jnp.moveaxis(data, 0, -1)
-            kz = jnp.fft.fftshift(
-                jnp.fft.fft(jnp.fft.ifftshift(data, axes=-1), axis=-1), axes=-1
-            )
-            return jnp.moveaxis(kz, -1, 0)  # (npe2, nc*nt, npe1, nro)
-
-        out = to_host(fwd(imgs))
+        out = to_host(_koosh_forward_device(imgs, cfg2, npe1, nro))
         return out.reshape(nz, nc, nt, npe1, nro)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg2", "work", "slide", "nzi", "nt", "nc")
+)
+def _koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc):
+    """Device side of the -3 adjoint: centered kz IFFT (unnormalized,
+    cuFFT-style) + slice-batched 2D frame recons, all under one jit.
+    d: (nt*nc, npe1, nro, npe2) -> (npe2*nzi, nt, n, n)."""
+    npe1, nro, npe2 = d.shape[-3], d.shape[-2], d.shape[-1]
+    sl = jnp.fft.fftshift(
+        jnp.fft.ifft(jnp.fft.ifftshift(d, axes=-1), axis=-1), axes=-1
+    ) * npe2
+    sl = jnp.moveaxis(sl, -1, 0).reshape(npe2, nt, nc, npe1, nro)
+
+    def per_slice(sd):                     # (nt, nc, npe1, nro)
+        return jax.lax.map(
+            lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
+        )                                  # (nt, nzi, n, n)
+
+    out = jax.lax.map(per_slice, sl, batch_size=min(npe2, 4))
+    # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
+    return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg2", "npe1", "nro"))
+def _koosh_forward_device(stack, cfg2, npe1, nro):
+    """Device side of the -3 forward: slice-batched degrids + centered
+    forward kz FFT (unnormalized). stack: (nz, nc*nt, ny, nx)."""
+    nz = stack.shape[0]
+    angles = spoke_angles(npe1, cfg2.scheme_for("forward"), cfg2.skip_angles)
+    data = jax.lax.map(
+        lambda zimg: nufft_forward(zimg, angles, cfg2, nro=nro),
+        stack,
+        batch_size=min(nz, 4),
+    )                                      # (nz, nc*nt, npe1, nro)
+    data = jnp.moveaxis(data, 0, -1)
+    kz = jnp.fft.fftshift(
+        jnp.fft.fft(jnp.fft.ifftshift(data, axes=-1), axis=-1), axes=-1
+    )
+    return jnp.moveaxis(kz, -1, 0)         # (npe2, nc*nt, npe1, nro)

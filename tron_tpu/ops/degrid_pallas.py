@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tron_tpu.ops.grid_pallas import (
     _chord_tables,
+    _hit_loop,
     _kb_poly,
     _kb_taylor_coeffs,
     _tile_segments,
@@ -118,17 +119,14 @@ def _degrid_kernel(
         site = (i * tiles + j) * 2 + sgn
         seg0 = seg_ref[site]
         cnt_l = cntl_ref[site * nch + k]
-        jax.lax.fori_loop(
-            0, cnt_l, make_spoke(site, seg, hll_ref, lambda p: seg0), 0
-        )
+        _hit_loop(make_spoke(site, seg, hll_ref, lambda p: seg0), cnt_l)
         cnt_s = cnts_ref[site * nch + k]
-        jax.lax.fori_loop(
-            0, cnt_s,
+        _hit_loop(
             make_spoke(
                 site, ws, hls_ref,
                 lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
             ),
-            0,
+            cnt_s,
         )
 
     @pl.when((i == pl.num_programs(1) - 1) & (j == pl.num_programs(2) - 1))
@@ -169,7 +167,9 @@ def _degrid_pallas_impl(
         angles_s = jnp.pad(angles_s, (0, pad), mode="edge")
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
-    ws = 64
+    import os
+
+    ws = int(os.environ.get("TRON_WS", "48"))
     cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
         angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws
     )

@@ -47,6 +47,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tron_tpu.ops.grid import _radius_map
 
+# hit-loop unroll factor (tuning knob; 1 = plain dynamic loop).  lax
+# fori_loop can't unroll dynamic trip counts, so 2 means a manual paired
+# body (floor(cnt/2) double-iterations + a conditional tail).
+_UNROLL = int(_os.environ.get("TRON_UNROLL", "1"))
+
+
+def _hit_loop(body, cnt):
+    """Dynamic-bound hit loop, optionally manually 2-unrolled."""
+    if _UNROLL < 2:
+        jax.lax.fori_loop(0, cnt, body, 0)
+        return
+
+    def pair(q, c):
+        body(2 * q, c)
+        body(2 * q + 1, c)
+        return c
+
+    jax.lax.fori_loop(0, cnt // 2, pair, 0)
+
+    @pl.when(cnt % 2 == 1)
+    def _tail():
+        body(cnt - 1, 0)
+
 def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None):
     """Write U[(p*win..), (c,y)] = sp[., c] * B[., y] into the operand
     scratch as c2 clean 2D (rows, ty) stores at static lane offsets.
@@ -770,7 +793,7 @@ def _win_kernel(
             site, seg, al_ref, ul_ref, hll_ref, lambda p, s_=site: seg0,
             al2_ref, ul2_ref,
         )
-        jax.lax.fori_loop(0, cnt_l, ev, 0)
+        _hit_loop(ev, cnt_l)
         jax.lax.fori_loop(cnt_l, pe_chunk, zt, 0)
 
         @pl.when(cnt_l > 0)
@@ -788,7 +811,7 @@ def _win_kernel(
             lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
             as2_ref, us2_ref,
         )
-        jax.lax.fori_loop(0, cnt_s, ev_s, 0)
+        _hit_loop(ev_s, cnt_s)
         jax.lax.fori_loop(cnt_s, pe_chunk, zt_s, 0)
 
         @pl.when(cnt_s > 0)
@@ -883,7 +906,10 @@ def _pallas_win_impl(
     short-window operand class (see _chord_tables).  ws (the short-window
     row count) defaults to 64; override with TRON_WS for tuning."""
     if ws is None:
-        ws = int(_os.environ.get("TRON_WS", "64"))
+        # 48 measured best on the whole-body geometry (2.89 vs 2.98 ms at 64
+        # and 2.93 at 32): covers chords <= 44 (~60% of hits) at 1/4 the
+        # full-segment operand cost
+        ws = int(_os.environ.get("TRON_WS", "48"))
     C, npe, nro = data.shape
     c2 = 2 * C
     tiles = nxos // tile

@@ -239,7 +239,10 @@ def _koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc):
             lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
         )                                  # (nt, nzi, n, n)
 
-    out = jax.lax.map(per_slice, sl, batch_size=min(npe2, 4))
+    # slice batch of 2: vmapping the Pallas gridder stacks each batch
+    # element's output block on the scoped-vmem stack (16 MB HW limit), so
+    # a batch of 4 at 256^2 x 12 planes already overflows it
+    out = jax.lax.map(per_slice, sl, batch_size=min(npe2, 2))
     # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
     return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
 

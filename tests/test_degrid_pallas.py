@@ -71,3 +71,29 @@ def test_pallas_degrid_fallback_small(rng):
     got = np.asarray(dp.degrid_radial2d_pallas(jnp.asarray(g), angles, n, 2.0, beta))
     want = np.asarray(degrid_radial2d(jnp.asarray(g), angles, n, 2.0, beta, backend="gather"))
     assert nrmse(got, want) < 2e-4
+
+
+def test_pallas_degrid_bf16x3_fp32_grade(rng):
+    """Compensated bf16x3 degrid ~ fp32 (interpret mode evaluates the
+    bf16 splits exactly, so this checks the compensation algebra)."""
+    beta = kb_beta(2.0, 2.0)
+    C, npe, n = 2, 12, 256
+    g = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
+        np.complex64
+    )
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 3))
+    want = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    got = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=4,
+            matmul_dtype="bf16x3", interpret=True,
+        )
+    )
+    m = _interior_mask(n)
+    err = nrmse(got[..., m], want[..., m])
+    assert err < 1e-4, f"{err:.2e}"

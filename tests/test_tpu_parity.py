@@ -179,3 +179,35 @@ def test_cgnr_parity_on_tpu(rng):
     want = to_host(jax.jit(lambda x: cgnr_radial2d(x, angles, cfg_j))(data))
     err = _nrmse(got, want)
     assert err < 2e-2, f"{err:.2e}"
+
+
+def test_degrid_pallas_bf16x3_fp32_grade_on_tpu(rng):
+    """Accurate-mode forward: the bf16x3 Pallas degrid must reach ~fp32
+    (<= 1e-4) against the dense XLA degrid at fp32-grade matmul precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.config import AngleScheme
+    from tron_tpu.ops.degrid import _degrid_dense
+    from tron_tpu.ops.degrid_pallas import degrid_radial2d_pallas
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    n, C, npe = 256, 2, 33
+    g = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
+        np.complex64
+    )
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
+    G = to_device(g)
+    got = to_host(
+        degrid_radial2d_pallas(G, angles, n, KW, _beta(), matmul_dtype="bf16x3")
+    )
+    with jax.default_matmul_precision("float32"):
+        want = to_host(
+            jax.jit(lambda x: _degrid_dense(x, angles, n, KW, _beta(), wrap=False))(G)
+        )
+    # interior: the raw kernel clips while dense wraps only at the edges
+    ro = np.arange(n)
+    m = (np.abs(ro - n // 2) <= n // 2 - 4) & (ro != 0)
+    err = _nrmse(got[..., m], want[..., m])
+    assert err < 1e-4, f"bf16x3 degrid: {err:.2e}"

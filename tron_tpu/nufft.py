@@ -94,7 +94,9 @@ def nufft_adjoint(
     return img
 
 
-def _patch_degrid_wrap_edges(samples, kgrid, angles, nro, kernwidth, beta):
+def _patch_degrid_wrap_edges(
+    samples, kgrid, angles, nro, kernwidth, beta, precision=None
+):
     """Overwrite the boundary-crossing readout columns of a clip-mode degrid
     with exact periodic-wrap values (`src/tron.cu:569-570`).
 
@@ -126,8 +128,8 @@ def _patch_degrid_wrap_edges(samples, kgrid, angles, nro, kernwidth, beta):
 
     A = wkb(xs[..., None] - grid_pos).astype(kgrid.dtype)   # (npe, ne, n)
     B = wkb(ys[..., None] - grid_pos).astype(kgrid.dtype)
-    V = jnp.einsum("pex,cyx->cpey", A, kgrid)
-    s = jnp.einsum("pey,cpey->cpe", B, V)                   # (C, npe, ne)
+    V = jnp.einsum("pex,cyx->cpey", A, kgrid, precision=precision)
+    s = jnp.einsum("pey,cpey->cpe", B, V, precision=precision)  # (C, npe, ne)
     return samples.at[..., jnp.asarray(idx)].set(s)
 
 
@@ -168,13 +170,16 @@ def nufft_forward(
                 flat = kgrid.reshape((-1,) + kgrid.shape[-2:])
                 out = degrid_radial2d_pallas(
                     flat, angles, nro, cfg.kernwidth, beta,
-                    matmul_dtype=(
-                        cfg.matmul_dtype if cfg.matmul_dtype == "float32" else "bfloat16"
-                    ),
+                    matmul_dtype=cfg.matmul_dtype,
                 )
                 if wrap:
                     out = _patch_degrid_wrap_edges(
-                        out, flat, angles, nro, cfg.kernwidth, beta
+                        out, flat, angles, nro, cfg.kernwidth, beta,
+                        precision=(
+                            "highest"
+                            if cfg.matmul_dtype in ("bf16x3", "float32")
+                            else None
+                        ),
                     )
                 return out.reshape(batch + out.shape[-2:])
         except Exception:

@@ -60,6 +60,7 @@ def _degrid_kernel(
     kernwidth: float,
     kb_coeffs,
     mm_dtype,
+    passes: int = 1,
 ):
     k = pl.program_id(0)
     i = pl.program_id(1)
@@ -78,7 +79,17 @@ def _degrid_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
     ).astype(jnp.float32)
 
-    G2 = g_ref[...].reshape(c2 * ty, tx).astype(mm_dtype)
+    Gf = g_ref[...].reshape(c2 * ty, tx)
+    G2 = Gf.astype(mm_dtype)
+    if passes != 1:
+        G2l = (Gf - G2.astype(jnp.float32)).astype(mm_dtype)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     def make_spoke(site, win, hl, w0_for):
         def spoke(p, _):
@@ -92,11 +103,12 @@ def _degrid_kernel(
             A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)   # (WIN, TX)
             B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)   # (WIN, TY)
             # V[r, (c, y)] = sum_x A[r, x] * G[(c, y), x]
-            V = jax.lax.dot_general(
-                A.astype(mm_dtype), G2,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                   # (WIN, C2*TY)
+            Ah = A.astype(mm_dtype)
+            V = dot(Ah, G2)                                     # (WIN, C2*TY)
+            if passes != 1:
+                # compensated bf16x3: hi*lo cross terms recover ~fp32
+                Al = (A - Ah.astype(jnp.float32)).astype(mm_dtype)
+                V = V + dot(Ah, G2l) + dot(Al, G2)
             # per-channel 2D lane-slice reductions: reshaping V to
             # (win, c2, ty) relayouts `win` onto sublanes (transpose-shaped,
             # slow on Mosaic) — same fix as grid_pallas._expand_u
@@ -152,6 +164,7 @@ def _degrid_pallas_impl(
     tiles = nxos // tile
     starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
 
+    passes = 3 if matmul_dtype == "bf16x3" else 1
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
 
     # sort spokes by angle (shared culling machinery); the "samples" fed to
@@ -192,6 +205,7 @@ def _degrid_pallas_impl(
         kernwidth=kernwidth,
         kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
         mm_dtype=mm_dtype,
+        passes=passes,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

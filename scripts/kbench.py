@@ -43,8 +43,7 @@ def main():
     from tron_tpu.trajectory import spoke_angles
 
     nf, nc, npe, nro = args.frames, args.nc, args.npe, args.nro
-    nxos = 2 * nro // 2 * 2  # oversampled grid = nro for radial (osf=2 on n=256)
-    nxos = nro
+    nxos = nro  # oversampled grid == nro for the default gridos=2 geometry
     kernwidth = 2.0
     beta = kb_beta(kernwidth, 2.0)
 
@@ -109,15 +108,27 @@ def main():
     )
 
     if args.check:
-        from tron_tpu.ops.grid import grid_radial2d
-
-        g = jax.jit(
-            lambda x, ang: grid_radial2d(x, ang, nxos, kernwidth, beta)
-        )
-        ref = to_host(g(d[0], a[0]))
         got = to_host(fn(d[:1], a[:1])[0])
+        if args.op == "degrid":
+            from tron_tpu.ops.degrid import _degrid_dense
+
+            g = jax.jit(
+                lambda x, ang: _degrid_dense(x, ang, nro, kernwidth, beta, wrap=False)
+            )
+            ref = to_host(g(d[0], a[0]))
+            # interior: the raw kernel clips, dense wraps only at edges
+            ro = np.arange(nro)
+            m = (np.abs(ro - nro // 2) <= nro // 2 - 4) & (ro != 0)
+            got, ref = got[..., m], ref[..., m]
+        else:
+            from tron_tpu.ops.grid import grid_radial2d
+
+            g = jax.jit(
+                lambda x, ang: grid_radial2d(x, ang, nxos, kernwidth, beta)
+            )
+            ref = to_host(g(d[0], a[0]))
         err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
-        print(f"nrmse_vs_xla_fp32: {err:.3e}")
+        print(f"nrmse_vs_xla: {err:.3e}")
 
 
 if __name__ == "__main__":

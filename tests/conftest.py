@@ -8,8 +8,9 @@ before any backend initialization."""
 import os
 
 # TRON_TPU_TESTS=1 leaves the real TPU platform in place so the hardware
-# parity suite (tests/test_tpu_parity.py) can run; everything else skips
-# itself on TPU just like the TPU suite skips itself on CPU.
+# parity suite (tests/test_tpu_parity.py) can run.  Use it with that file
+# only — the rest of the suite assumes the 8-device CPU mesh (tolerances
+# are fp32-grade and sharding tests want 8 devices).
 _USE_TPU = os.environ.get("TRON_TPU_TESTS", "") not in ("", "0")
 
 if not _USE_TPU:

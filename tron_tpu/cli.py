@@ -191,7 +191,11 @@ def main(argv=None) -> int:
         if stream:
             from tron_tpu.recon import recon_radial2d_streaming
 
-            out = recon_radial2d_streaming(args.infile, cfg)
+            try:
+                out = recon_radial2d_streaming(args.infile, cfg)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
         elif args.shard and cfg.adjoint and not cfg.koosh:
             out = _recon_sharded_cli(indata, cfg)
         else:

@@ -180,9 +180,7 @@ def _degrid_pallas_impl(
         angles_s = jnp.pad(angles_s, (0, pad), mode="edge")
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
-    import os
-
-    ws = int(os.environ.get("TRON_WS", "48"))
+    from tron_tpu.ops.grid_pallas import _WS as ws
     cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
         angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws
     )

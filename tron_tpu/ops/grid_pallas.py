@@ -47,10 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tron_tpu.ops.grid import _radius_map
 
-# hit-loop unroll factor (tuning knob; 1 = plain dynamic loop).  lax
-# fori_loop can't unroll dynamic trip counts, so 2 means a manual paired
-# body (floor(cnt/2) double-iterations + a conditional tail).
+# Tuning knobs, read ONCE at import (they select trace-time constants, so a
+# mid-process change would be silently ignored by the jit cache anyway):
+# TRON_UNROLL — hit-loop unroll factor (1 = plain dynamic loop; 2 = manual
+# paired body: floor(cnt/2) double-iterations + a conditional tail).
+# TRON_WS — short-window row count (see _pallas_win_impl).
 _UNROLL = int(_os.environ.get("TRON_UNROLL", "1"))
+_WS = int(_os.environ.get("TRON_WS", "48"))
 
 
 def _hit_loop(body, cnt):
@@ -904,12 +907,12 @@ def _pallas_win_impl(
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
-    row count) defaults to 64; override with TRON_WS for tuning."""
+    row count) defaults to 48 — measured best on the whole-body geometry
+    (2.89 ms/frame vs 2.98 at 64 and 2.93 at 32): covers chords <= 44
+    (~60% of hits) at a quarter of the full-segment operand cost.
+    Override with TRON_WS (read at import)."""
     if ws is None:
-        # 48 measured best on the whole-body geometry (2.89 vs 2.98 ms at 64
-        # and 2.93 at 32): covers chords <= 44 (~60% of hits) at 1/4 the
-        # full-segment operand cost
-        ws = int(_os.environ.get("TRON_WS", "48"))
+        ws = _WS
     C, npe, nro = data.shape
     c2 = 2 * C
     tiles = nxos // tile

@@ -57,11 +57,18 @@ def make_global_mesh(n_coil: int = 1) -> Mesh:
     return Mesh(devs.reshape(n_frame, n_coil), ("frame", "coil"))
 
 
-def process_frame_slice(nz: int) -> slice:
+def process_frame_slice(nz: int, n_coil: int = 1) -> slice:
     """The frame indices this process' devices own under make_global_mesh —
     for feeding per-host file reads (io.native.ra_read_profiles windows)
-    instead of a fully replicated stream."""
-    n_proc = jax.process_count()
-    per = -(-nz // n_proc)
+    instead of a fully replicated stream.
+
+    Matches recon_frames_sharded's partition exactly: each frame-device
+    owns per = ceil(nz_padded / n_frame) consecutive frames, and process i
+    holds frame-devices [i*fd, (i+1)*fd) with fd = local_devices / n_coil.
+    """
+    local = jax.local_device_count()
+    n_frame = jax.device_count() // n_coil
+    fd = local // n_coil                  # frame-devices per process
+    per = -(-nz // n_frame)               # frames per frame-device (padded)
     i = jax.process_index()
-    return slice(i * per, min((i + 1) * per, nz))
+    return slice(min(i * fd * per, nz), min((i + 1) * fd * per, nz))

@@ -40,31 +40,16 @@ def make_mesh(
     return Mesh(devices.reshape(n_frame, n_coil), ("frame", "coil"))
 
 
-def recon_frames_sharded(
-    data: jnp.ndarray,
-    cfg: ReconConfig,
-    mesh: Mesh,
-    npe1work: int,
-    prof_slide: int,
-    nz: int,
-) -> jnp.ndarray:
-    """Sharded sliding-window recon. data: (nc, npe1, nro) -> (nz, n, n).
+import functools
 
-    Frames are partitioned across the 'frame' axis, channels across 'coil';
-    each device reconstructs its local (frames x coils) block and the coil
-    combine finishes over the 'coil' axis per cfg.coil_combine:
 
-      * "sos" — partial sum-of-squares + psum (one scalar-image allreduce,
-        the cheapest possible collective);
-      * "walsh" — all_gather of the coil shards (Walsh's eigenvector filter
-        needs the full coil covariance), then the local Walsh combine;
-      * "none" — coil images returned with the channel axis still sharded
-        over 'coil' (output (nz, nc, n, n)).
-    """
-    nc, npe1, nro = data.shape
+@functools.lru_cache(maxsize=32)
+def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
+    """Build + jit the shard_mapped recon once per (config, mesh, shape) —
+    repeated calls (e.g. the CLI's nt > 1 repetition loop) reuse the
+    compiled executable instead of retracing a fresh closure."""
     nfr = mesh.shape["frame"]
     ncs = mesh.shape["coil"]
-    assert nc % ncs == 0, f"nc={nc} must divide over coil axis {ncs}"
     nzp = -(-nz // nfr) * nfr  # pad frame count to the mesh
 
     def worker(d_local: jnp.ndarray) -> jnp.ndarray:
@@ -78,7 +63,9 @@ def recon_frames_sharded(
             zc = jnp.minimum(z, nz - 1)  # padded tail recomputes last frame
             pe0 = zc * prof_slide
             win = jax.lax.dynamic_slice_in_dim(d_local, pe0, npe1work, axis=-2)
-            angles = spoke_angles(npe1work, cfg.scheme_for("adjoint"), cfg.skip_angles + pe0)
+            angles = spoke_angles(
+                npe1work, cfg.scheme_for("adjoint"), cfg.skip_angles + pe0
+            )
             if cfg.niter > 0:
                 # CG inner products must be global across the coil shards
                 coilimg = cgnr_radial2d(
@@ -104,7 +91,7 @@ def recon_frames_sharded(
             P("frame", None, None) if sos else P("frame", "coil", None, None)
         ),
     )
-    out = jax.jit(shard)(data)
+    step = jax.jit(shard)
     if cfg.coil_combine == "walsh":
         # Walsh needs the full coil covariance, so it runs in a follow-up
         # jit over the (frame-sharded, coil-sharded) coil images — GSPMD
@@ -113,8 +100,37 @@ def recon_frames_sharded(
         # a manual in-shard gather + eigen-iteration forces onto the IFFT.)
         from tron_tpu.ops.coil import coil_combine_walsh
 
-        out = jax.jit(
+        walsh = jax.jit(
             jax.vmap(lambda ci: coil_combine_walsh(ci, cfg.walsh_npatch)),
             out_shardings=jax.sharding.NamedSharding(mesh, P("frame", None, None)),
-        )(out)
-    return out[:nz]
+        )
+        return lambda d: walsh(step(d))
+    return step
+
+
+def recon_frames_sharded(
+    data: jnp.ndarray,
+    cfg: ReconConfig,
+    mesh: Mesh,
+    npe1work: int,
+    prof_slide: int,
+    nz: int,
+) -> jnp.ndarray:
+    """Sharded sliding-window recon. data: (nc, npe1, nro) -> (nz, n, n).
+
+    Frames are partitioned across the 'frame' axis, channels across 'coil';
+    each device reconstructs its local (frames x coils) block and the coil
+    combine finishes over the 'coil' axis per cfg.coil_combine:
+
+      * "sos" — partial sum-of-squares + psum (one scalar-image allreduce,
+        the cheapest possible collective);
+      * "walsh" — all_gather of the coil shards (Walsh's eigenvector filter
+        needs the full coil covariance), then the local Walsh combine;
+      * "none" — coil images returned with the channel axis still sharded
+        over 'coil' (output (nz, nc, n, n)).
+    """
+    nc, npe1, nro = data.shape
+    ncs = mesh.shape["coil"]
+    assert nc % ncs == 0, f"nc={nc} must divide over coil axis {ncs}"
+    step = _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro)
+    return step(data)[:nz]

@@ -158,11 +158,24 @@ def recon_radial2d_streaming(
 
     hdr = ra_query(path)
     dims = [int(d) for d in hdr.dims]
+    if len(dims) < 4:
+        raise ValueError(f"streaming recon expects a 5-D radial .ra, got {dims}")
+    if not np.issubdtype(hdr.dtype, np.complexfloating):
+        # float inputs (incl. the 6-D re/im-pair fp16 convention of --half)
+        # have a different on-disk profile stride; load them the normal way
+        raise ValueError(
+            "streaming recon requires complex input; re-run without --stream "
+            "for float/fp16 re-im-pair files"
+        )
     nc, nt, nro, npe1 = dims[0], dims[1], dims[2], dims[3]
     if nt != 1:
         raise ValueError("streaming recon supports nt == 1")
     if not cfg.adjoint or cfg.koosh:
         raise ValueError("streaming recon is adjoint (-a), non-koosh only")
+    if 0 < cfg.coil_compress < nc:
+        # SVD compression needs a global (whole-acquisition) basis; a
+        # per-block basis would change virtual coils across blocks
+        raise ValueError("--compress is not supported with --stream")
     work, slide, nz = cfg.frame_geometry(nro, npe1)
 
     bf = min(batch_frames, nz)

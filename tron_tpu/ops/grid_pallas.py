@@ -719,12 +719,14 @@ def _win_kernel(
     scale: float,
     mm_dtype,
     passes: int = 1,
+    resident: bool = False,
 ):
     if passes == 1:
-        al_ref, ul_ref, as_ref, us_ref = scratch
+        al_ref, ul_ref, as_ref, us_ref, hw_ref = scratch
         al2_ref = ul2_ref = as2_ref = us2_ref = None
     else:
-        al_ref, ul_ref, as_ref, us_ref, al2_ref, ul2_ref, as2_ref, us2_ref = scratch
+        (al_ref, ul_ref, as_ref, us_ref,
+         al2_ref, ul2_ref, as2_ref, us2_ref, hw_ref) = scratch
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -744,6 +746,11 @@ def _win_kernel(
         if passes != 1:
             ul2_ref[...] = jnp.zeros_like(ul2_ref)
             us2_ref[...] = jnp.zeros_like(us2_ref)
+        # high-water marks of nonzero A rows per class (long, short): the
+        # A scratches start as garbage, so the first active step must zero
+        # its full tail
+        hw_ref[0] = pe_chunk
+        hw_ref[1] = pe_chunk
 
     half = nxos // 2
     X = (
@@ -760,6 +767,12 @@ def _win_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    # resident mode: s_ref holds the ENTIRE spoke set (constant block index,
+    # so Mosaic fetches it once instead of re-DMAing a per-chunk block on
+    # every one of the tiles*tiles*nch grid steps); slots then index from
+    # the chunk's global offset
+    slot0 = k * pe_chunk if resident else 0
+
     def make_eval(site, win, a_scr, u_scr, hl, w0_for, a2_scr, u2_scr):
         def eval_hit(p, _):
             slot = hl[(site * nch + k) * pe_chunk + p]
@@ -771,7 +784,7 @@ def _win_kernel(
             ).astype(jnp.float32)
             A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
             B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
-            sp = s_ref[slot, pl.ds(w0, win), :]
+            sp = s_ref[slot0 + slot, pl.ds(w0, win), :]
             _store_a(a_scr, p, win, A, mm_dtype, a2_scr)
             _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, u2_scr)
             return 0
@@ -796,11 +809,17 @@ def _win_kernel(
             site, seg, al_ref, ul_ref, hll_ref, lambda p, s_=site: seg0,
             al2_ref, ul2_ref,
         )
-        _hit_loop(ev, cnt_l)
-        jax.lax.fori_loop(cnt_l, pe_chunk, zt, 0)
 
         @pl.when(cnt_l > 0)
-        def _contract_l():
+        def _work_l():
+            _hit_loop(ev, cnt_l)
+            # zero only A rows a previous step left nonzero above cnt (the
+            # unconditional [cnt, pe_chunk) zero-tail was ~45% of the whole
+            # kernel: ~400 MB/frame of zero stores); rows >= the high-water
+            # mark are already zero, and the dot is skipped when cnt == 0
+            # so stale rows are harmless until the next active step
+            jax.lax.fori_loop(cnt_l, jnp.maximum(hw_ref[0], cnt_l), zt, 0)
+            hw_ref[0] = cnt_l
             acc_ref[...] += dot(al_ref[...], ul_ref[...])
             if passes != 1:
                 # compensated bf16x3: hi*lo cross terms recover ~fp32
@@ -814,11 +833,12 @@ def _win_kernel(
             lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
             as2_ref, us2_ref,
         )
-        _hit_loop(ev_s, cnt_s)
-        jax.lax.fori_loop(cnt_s, pe_chunk, zt_s, 0)
 
         @pl.when(cnt_s > 0)
-        def _contract_s():
+        def _work_s():
+            _hit_loop(ev_s, cnt_s)
+            jax.lax.fori_loop(cnt_s, jnp.maximum(hw_ref[1], cnt_s), zt_s, 0)
+            hw_ref[1] = cnt_s
             acc_ref[...] += dot(as_ref[...], us_ref[...])
             if passes != 1:
                 acc_ref[...] += dot(as_ref[...], us2_ref[...])
@@ -937,7 +957,21 @@ def _pallas_win_impl(
     cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
         angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws
     )
+    if _os.environ.get("TRON_CULL") == "none":  # debug: dispatch-floor timing
+        cnt_l = cnt_l * 0
+        cnt_s = cnt_s * 0
     seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
+
+    # TRON_RESIDENT=1 holds the whole spoke set in VMEM (constant-index
+    # block, fetched once) instead of re-DMAing a per-chunk block per grid
+    # step.  Measured NEUTRAL-to-slightly-slower on the whole-body geometry
+    # (2.78 vs 2.74 ms/frame — the per-step DMA is already overlapped by the
+    # grid pipeline), so off by default; kept as a knob for other shapes.
+    s2_bytes = nch * pe_chunk * nxos * c2 * 4
+    resident = (
+        _os.environ.get("TRON_RESIDENT", "0") not in ("", "0")
+        and s2_bytes <= 6 * 1024 * 1024
+    )
 
     kern = functools.partial(
         _win_kernel,
@@ -954,6 +988,7 @@ def _pallas_win_impl(
         scale=1.0 / (nxos * npe),
         mm_dtype=mm_dtype,
         passes=passes,
+        resident=resident,
     )
 
     operand_scratch = [
@@ -962,17 +997,21 @@ def _pallas_win_impl(
         pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
         pltpu.VMEM((pe_chunk * ws, c2 * tile), mm_dtype),
     ]
+    s_spec = (
+        pl.BlockSpec((nch * pe_chunk, nxos, c2), lambda i, j, k, *_: (0, 0, 0))
+        if resident
+        else pl.BlockSpec((pe_chunk, nxos, c2), lambda i, j, k, *_: (k, 0, 0))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(tiles, tiles, nch),
-        in_specs=[
-            pl.BlockSpec((pe_chunk, nxos, c2), lambda i, j, k, *_: (k, 0, 0)),
-        ],
+        in_specs=[s_spec],
         out_specs=pl.BlockSpec(
             (tile, c2, tile), lambda i, j, k, *_: (j, 0, i)
         ),
         scratch_shapes=[pltpu.VMEM((tile, c2 * tile), jnp.float32)]
-        + operand_scratch * nscr,
+        + operand_scratch * nscr
+        + [pltpu.SMEM((2,), jnp.int32)],
     )
     out = pl.pallas_call(
         kern,

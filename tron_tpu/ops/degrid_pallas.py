@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tron_tpu.ops.grid_pallas import (
     _chord_tables,
+    _vmem_limit_kw,
     _hit_loop,
     _kb_poly,
     _kb_taylor_coeffs,
@@ -182,7 +183,7 @@ def _degrid_pallas_impl(
     st = jnp.sin(angles_s).astype(jnp.float32)
     from tron_tpu.ops.grid_pallas import _WS as ws
     cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
-        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws
+        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe
     )
     seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
 
@@ -225,6 +226,7 @@ def _degrid_pallas_impl(
         out_shape=jax.ShapeDtypeStruct((nch * pe_chunk, nro, c2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            **_vmem_limit_kw(),
         ),
         interpret=interpret,
     )(

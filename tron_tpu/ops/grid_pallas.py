@@ -52,8 +52,31 @@ from tron_tpu.ops.grid import _radius_map
 # TRON_UNROLL — hit-loop unroll factor (1 = plain dynamic loop; 2 = manual
 # paired body: floor(cnt/2) double-iterations + a conditional tail).
 # TRON_WS — short-window row count (see _pallas_win_impl).
+# TRON_KF — chunk-fusion factor: pe-chunks processed per grid step.
+# Default 1: fusing chunks measured NEUTRAL on the whole-body geometry
+# (per-step cost is not the bottleneck) and kf>1 makes XLA demand ~41 MB
+# of scoped vmem for UNBATCHED calls (vmapped calls are unaffected).
 _UNROLL = int(_os.environ.get("TRON_UNROLL", "1"))
 _WS = int(_os.environ.get("TRON_WS", "48"))
+_KF = int(_os.environ.get("TRON_KF", "1"))
+# TRON_BISECT — debug-only cost attribution (produces WRONG results):
+# "u1" writes a single channel slice in the U expansion; "nopoly" replaces
+# the KB polynomial with its argument.
+_BISECT = _os.environ.get("TRON_BISECT", "")
+# TRON_TY — default tile rows (tile_y) for the windowed kernels; 0 = square.
+_TY = int(_os.environ.get("TRON_TY", "0")) or None
+
+
+def _vmem_limit_kw():
+    """compiler_params kwarg raising the scoped-vmem cap (a 16 MB XLA flag
+    default, not hardware — v5e has 128 MB of VMEM).  Default: keep XLA's
+    16 MB — measured FASTEST (at a 100 MB cap XLA parks large buffers in
+    VMEM and the whole-body frame slows 2.20 -> 2.81 ms; 32 MB was still
+    fine).  TRON_VMEM_LIMIT=<bytes> opts into a higher cap for configs
+    whose scratch demand exceeds the default (e.g. unbatched 512-grid
+    calls, which demand ~41 MB)."""
+    lim = int(_os.environ.get("TRON_VMEM_LIMIT", "0"))
+    return {"vmem_limit_bytes": lim} if lim else {}
 
 
 def _hit_loop(body, cnt):
@@ -85,6 +108,8 @@ def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None):
 
     With ``lo_scr`` (compensated bf16x3 mode), the fp32 product is split
     into hi + lo bfloat16 halves written to the two scratches."""
+    if _BISECT == "u1":
+        c2 = 1
     for c in range(c2):
         u = sp[:, c : c + 1] * B
         uh = u.astype(mm_dtype)
@@ -138,6 +163,8 @@ def _kb_poly(x2: jnp.ndarray, kernwidth: float, coeffs) -> jnp.ndarray:
     """KB window via the static Taylor-in-q polynomial (see above)."""
     r = x2 * (1.0 / kernwidth)
     q = 1.0 - r * r
+    if _BISECT == "nopoly":
+        return q
     inside = q > 0.0
     qc = jnp.where(inside, q, 0.0)
     acc = jnp.full_like(qc, coeffs[-1])
@@ -174,7 +201,7 @@ def _kb_inline(x2: jnp.ndarray, kernwidth: float, beta: float) -> jnp.ndarray:
     return jnp.where(inside, (0.5 / kernwidth) * i0, 0.0)
 
 
-def _tile_segments(nxos: int, tile: int, kernwidth: float):
+def _tile_segments(nxos: int, tile: int, kernwidth: float, tile_y: int | None = None):
     """Static per-(tile, sign) radius segments.
 
     Tile (i, j) of the oversampled grid can only receive energy from samples
@@ -185,18 +212,22 @@ def _tile_segments(nxos: int, tile: int, kernwidth: float):
     *static geometry*: no dynamic control flow, just a precomputed slice
     start per (tile, sign) and one fixed segment length.
 
-    Returns (seg_start[tiles, tiles, 2] int32 in rr-index space,
-    nonempty[tiles, tiles, 2] bool, seg_len int).
+    Tiles are tile_y (rows) x tile (columns); tile_y defaults to square.
+
+    Returns (seg_start[tiles_y, tiles_x, 2] int32 in rr-index space,
+    nonempty[tiles_y, tiles_x, 2] bool, seg_len int).
     """
     import numpy as np
 
+    if tile_y is None:
+        tile_y = tile
     h = nxos // 2
-    tiles = nxos // tile
-    bands = np.zeros((tiles, tiles, 2), np.int32)  # per-tile [lo, hi]
-    nonempty = np.zeros((tiles, tiles, 2), bool)
-    for i in range(tiles):
-        y0, y1 = i * tile - h, (i + 1) * tile - 1 - h
-        for j in range(tiles):
+    tiles_y, tiles_x = nxos // tile_y, nxos // tile
+    bands = np.zeros((tiles_y, tiles_x, 2), np.int32)  # per-tile [lo, hi]
+    nonempty = np.zeros((tiles_y, tiles_x, 2), bool)
+    for i in range(tiles_y):
+        y0, y1 = i * tile_y - h, (i + 1) * tile_y - 1 - h
+        for j in range(tiles_x):
             x0, x1 = j * tile - h, (j + 1) * tile - 1 - h
             # min/max distance from origin to the tile rectangle
             dx = 0.0 if x0 <= 0 <= x1 else min(abs(x0), abs(x1))
@@ -216,9 +247,9 @@ def _tile_segments(nxos: int, tile: int, kernwidth: float):
     # Padding may only add out-of-band rows: |r| outside [lo, hi] has zero
     # KB weight for every pixel of the tile, and the r == -h row is zeroed
     # in the sample prep.
-    starts = np.zeros((tiles, tiles, 2), np.int32)
-    for i in range(tiles):
-        for j in range(tiles):
+    starts = np.zeros((tiles_y, tiles_x, 2), np.int32)
+    for i in range(tiles_y):
+        for j in range(tiles_x):
             lo, hi = int(bands[i, j, 0]), int(bands[i, j, 1])
             # positive slice: start in [h, nxos-seg]; extras are r in
             # [start-h, lo) or (hi, start-h+seg), all out of band
@@ -462,6 +493,7 @@ def grid_radial2d_pallas(
     matmul_dtype: str = "bfloat16",
     interpret: bool = False,
     windowed: bool = True,
+    tile_y: int | None = None,
 ) -> jnp.ndarray:
     """Adjoint gridding, Pallas TPU backend (complex in/out).
 
@@ -469,18 +501,24 @@ def grid_radial2d_pallas(
     Returns (C, nxos, nxos) complex64.  Dispatches to the windowed
     segmented/culled kernel when the geometry allows tiling (``windowed``
     selects the short-chord operand class), else the dense-range kernel.
+    ``tile_y`` (rows per tile; default TRON_TY or square) trades tile count
+    against operand width — see _pallas_win_impl.
     """
     if data.ndim == 2:
         return grid_radial2d_pallas(
             data[None], angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret, windowed,
+            interpret, windowed, tile_y,
         )[0]
+    if tile_y is None:
+        tile_y = _TY
+    if not (tile_y and nxos % tile_y == 0 and nxos // tile_y >= 1):
+        tile_y = None  # square fallback
+    if windowed and nxos % tile == 0 and (nxos // tile >= 2 or tile_y):
+        return _pallas_win_impl(
+            data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+            interpret, tile_y=tile_y,
+        )
     if nxos % tile == 0 and nxos // tile >= 2:
-        if windowed:
-            return _pallas_win_impl(
-                data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-                interpret,
-            )
         return _pallas_seg_impl(
             data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
             interpret,
@@ -491,13 +529,19 @@ def grid_radial2d_pallas(
     )
 
 
-def _prep_samples(data, nxos, pe_chunk, angles, layout):
+def _prep_samples(data, nxos, pe_chunk, angles, layout, kf=1):
     """Shared prep: resample to grid radii, channel-expand, sort spokes by
     angle (so spoke chunks are angularly coherent wedges for culling), pad
-    to a chunk multiple.  Returns (s2, angles_sorted_padded, nch, C, npe)."""
+    to a pe_chunk*kf multiple.  Returns (s2, angles_sorted_padded, nch, C,
+    npe); nch counts pe_chunk-sized chunks (incl. padding)."""
     C, npe, nro = data.shape
     rr, ridx, valid = _radius_map(nxos, nro)
-    ds = jnp.take(data, ridx, axis=-1) * valid.astype(data.dtype)  # (C, npe, nR)
+    if nro == nxos:
+        # identity radius map (the default gridos=2 geometry): skip the
+        # minor-axis gather — an elementwise mask is all that remains
+        ds = data * valid.astype(data.dtype)
+    else:
+        ds = jnp.take(data, ridx, axis=-1) * valid.astype(data.dtype)
 
     from tron_tpu.trajectory import modang
 
@@ -507,7 +551,7 @@ def _prep_samples(data, nxos, pe_chunk, angles, layout):
 
     c2 = 2 * C
     s2 = jnp.stack([ds.real, ds.imag], axis=1).reshape(c2, npe, nxos)
-    nch = -(-npe // pe_chunk)
+    nch = -(-npe // (pe_chunk * kf)) * kf
     pad = nch * pe_chunk - npe
     if pad:
         s2 = jnp.pad(s2, ((0, 0), (0, pad), (0, 0)))
@@ -702,15 +746,15 @@ def _win_kernel(
     ct_ref,     # scalar prefetch: (npe',) f32
     st_ref,     # scalar prefetch: (npe',) f32
     s_ref,      # (PE, nR, C2) samples
-    out_ref,    # (TX, C2, TY) f32
-    acc_ref,    # (TX, C2*TY) f32
+    out_ref,    # (C2, TY, TX) f32
+    acc_ref,    # (C2*TY, TX) f32
     *scratch,   # (PE*SEG, TX), (PE*SEG, C2*TY), (PE*WS, TX), (PE*WS, C2*TY)
                 # mm-dtype operand scratches; doubled (hi + lo) for bf16x3
     pe_chunk: int,
     nxos: int,
     seg: int,
     ws: int,
-    tiles: int,
+    tiles_x: int,
     ty: int,
     tx: int,
     c2: int,
@@ -718,6 +762,8 @@ def _win_kernel(
     kb_coeffs,
     scale: float,
     mm_dtype,
+    nch: int,
+    kf: int = 1,
     passes: int = 1,
     resident: bool = False,
 ):
@@ -729,8 +775,8 @@ def _win_kernel(
          al2_ref, ul2_ref, as2_ref, us2_ref, hw_ref) = scratch
     i = pl.program_id(0)
     j = pl.program_id(1)
-    k = pl.program_id(2)
-    nch = pl.num_programs(2)
+    k = pl.program_id(2)   # chunk-GROUP index: chunks [k*kf, (k+1)*kf)
+    nko = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _init():
@@ -760,96 +806,111 @@ def _win_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
     ).astype(jnp.float32)
 
-    def dot(a, u):
+    def dot(u, a):
+        # (K, C2*TY)^T-contracted with (K, TX) -> (C2*TY, TX): the output
+        # block leaves the kernel already in (c2, y, x) layout, so the
+        # epilogue needs no XLA transpose (a measured ~0.2 ms/frame save)
         return jax.lax.dot_general(
-            a, u,
+            u, a,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    # resident mode: s_ref holds the ENTIRE spoke set (constant block index,
-    # so Mosaic fetches it once instead of re-DMAing a per-chunk block on
-    # every one of the tiles*tiles*nch grid steps); slots then index from
-    # the chunk's global offset
-    slot0 = k * pe_chunk if resident else 0
+    def chunk_body(q, _):
+        # kq: global chunk index; the sample block holds this step's kf
+        # chunks (or, resident, all of them), so slots offset accordingly
+        kq = k * kf + q
 
-    def make_eval(site, win, a_scr, u_scr, hl, w0_for, a2_scr, u2_scr):
-        def eval_hit(p, _):
-            slot = hl[(site * nch + k) * pe_chunk + p]
-            w0 = w0_for(p, site)
-            ct = ct_ref[k * pe_chunk + slot]
-            st = st_ref[k * pe_chunk + slot]
-            rwin = (
-                jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - half
-            ).astype(jnp.float32)
-            A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
-            B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
-            sp = s_ref[slot0 + slot, pl.ds(w0, win), :]
-            _store_a(a_scr, p, win, A, mm_dtype, a2_scr)
-            _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, u2_scr)
-            return 0
+        # resident mode: s_ref holds the ENTIRE spoke set (constant block
+        # index, fetched once instead of a per-step DMA)
+        slot0 = kq * pe_chunk if resident else q * pe_chunk
 
-        def zero_tail(p, _):
-            a_scr[pl.ds(p * win, win), :] = jnp.zeros((win, tx), mm_dtype)
-            if a2_scr is not None:
-                a2_scr[pl.ds(p * win, win), :] = jnp.zeros((win, tx), mm_dtype)
-            return 0
+        def make_eval(site, win, a_scr, u_scr, hl, w0_for, a2_scr, u2_scr):
+            def eval_hit(p, _):
+                slot = hl[(site * nch + kq) * pe_chunk + p]
+                w0 = w0_for(p, site)
+                ct = ct_ref[kq * pe_chunk + slot]
+                st = st_ref[kq * pe_chunk + slot]
+                rwin = (
+                    jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - half
+                ).astype(jnp.float32)
+                A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
+                B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
+                sp = s_ref[slot0 + slot, pl.ds(w0, win), :]
+                _store_a(a_scr, p, win, A, mm_dtype, a2_scr)
+                _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, u2_scr)
+                return 0
 
-        return eval_hit, zero_tail
+            def zero_tail(p, _):
+                a_scr[pl.ds(p * win, win), :] = jnp.zeros((win, tx), mm_dtype)
+                if a2_scr is not None:
+                    a2_scr[pl.ds(p * win, win), :] = jnp.zeros(
+                        (win, tx), mm_dtype
+                    )
+                return 0
 
-    # both radius signs in one grid step; per sign: one batched contraction
-    # over the long (full-segment) hits and one over the short-chord hits
-    # (the windowed class — most outer-tile hits — at ws/seg of the cost)
-    for sgn in range(2):
-        site = (i * tiles + j) * 2 + sgn
-        seg0 = seg_ref[site]
+            return eval_hit, zero_tail
 
-        cnt_l = cntl_ref[site * nch + k]
-        ev, zt = make_eval(
-            site, seg, al_ref, ul_ref, hll_ref, lambda p, s_=site: seg0,
-            al2_ref, ul2_ref,
-        )
+        # both radius signs per chunk; per sign: one batched contraction
+        # over the long (full-segment) hits and one over the short-chord
+        # hits (the windowed class — most outer-tile hits — at ws/seg cost)
+        for sgn in range(2):
+            site = (i * tiles_x + j) * 2 + sgn
+            seg0 = seg_ref[site]
 
-        @pl.when(cnt_l > 0)
-        def _work_l():
-            _hit_loop(ev, cnt_l)
-            # zero only A rows a previous step left nonzero above cnt (the
-            # unconditional [cnt, pe_chunk) zero-tail was ~45% of the whole
-            # kernel: ~400 MB/frame of zero stores); rows >= the high-water
-            # mark are already zero, and the dot is skipped when cnt == 0
-            # so stale rows are harmless until the next active step
-            jax.lax.fori_loop(cnt_l, jnp.maximum(hw_ref[0], cnt_l), zt, 0)
-            hw_ref[0] = cnt_l
-            acc_ref[...] += dot(al_ref[...], ul_ref[...])
-            if passes != 1:
-                # compensated bf16x3: hi*lo cross terms recover ~fp32
-                # (the lo*lo term is below fp32 noise)
-                acc_ref[...] += dot(al_ref[...], ul2_ref[...])
-                acc_ref[...] += dot(al2_ref[...], ul_ref[...])
+            cnt_l = cntl_ref[site * nch + kq]
+            ev, zt = make_eval(
+                site, seg, al_ref, ul_ref, hll_ref, lambda p, s_=site: seg0,
+                al2_ref, ul2_ref,
+            )
+            cnt_s = cnts_ref[site * nch + kq]
+            ev_s, zt_s = make_eval(
+                site, ws, as_ref, us_ref, hls_ref,
+                lambda p, s_=site: w0_ref[(s_ * nch + kq) * pe_chunk + p],
+                as2_ref, us2_ref,
+            )
 
-        cnt_s = cnts_ref[site * nch + k]
-        ev_s, zt_s = make_eval(
-            site, ws, as_ref, us_ref, hls_ref,
-            lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
-            as2_ref, us2_ref,
-        )
+            def _class_work(cnt, hw_slot, evf, ztf, u_scr, a_scr, u2_scr, a2_scr):
+                # evaluate the class's hits, zero only the A rows a previous
+                # step left nonzero above cnt (the unconditional zero-tail
+                # was ~45% of the whole kernel: ~400 MB/frame of zero
+                # stores), then ONE fp32-accumulator read-modify-write for
+                # the class (bf16x3's three contractions are value-summed
+                # first).  NB: returning the dot as a lax.cond VALUE to
+                # share a single RMW across classes blows Mosaic's scoped-
+                # vmem stack (each cond result is a (c2*ty, tx) f32 stack
+                # buffer; 40 MB at ty=128) — keep statement-land pl.when.
+                @pl.when(cnt > 0)
+                def _active():
+                    _hit_loop(evf, cnt)
+                    jax.lax.fori_loop(cnt, jnp.maximum(hw_ref[hw_slot], cnt), ztf, 0)
+                    hw_ref[hw_slot] = cnt
+                    r = dot(u_scr[...], a_scr[...])
+                    if passes != 1:
+                        # compensated bf16x3: hi*lo cross terms recover
+                        # ~fp32 (the lo*lo term is below fp32 noise)
+                        r = r + dot(u2_scr[...], a_scr[...])
+                        r = r + dot(u_scr[...], a2_scr[...])
+                    acc_ref[...] += r
 
-        @pl.when(cnt_s > 0)
-        def _work_s():
-            _hit_loop(ev_s, cnt_s)
-            jax.lax.fori_loop(cnt_s, jnp.maximum(hw_ref[1], cnt_s), zt_s, 0)
-            hw_ref[1] = cnt_s
-            acc_ref[...] += dot(as_ref[...], us_ref[...])
-            if passes != 1:
-                acc_ref[...] += dot(as_ref[...], us2_ref[...])
-                acc_ref[...] += dot(as2_ref[...], us_ref[...])
+            _class_work(cnt_l, 0, ev, zt, ul_ref, al_ref, ul2_ref, al2_ref)
+            _class_work(cnt_s, 1, ev_s, zt_s, us_ref, as_ref, us2_ref, as2_ref)
 
-    @pl.when(k == nch - 1)
+        return 0
+
+    if kf == 1:
+        chunk_body(0, 0)
+    else:
+        jax.lax.fori_loop(0, kf, chunk_body, 0)
+
+    @pl.when(k == nko - 1)
     def _done():
-        out_ref[...] = acc_ref[...].reshape(tx, c2, ty) * scale
+        out_ref[...] = acc_ref[...].reshape(c2, ty, tx) * scale
 
 
-def _chord_tables(angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws):
+def _chord_tables(
+    angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=None, tile_y=None
+):
     """Exact per-(tile, sign, spoke) in-tile radial chords: hit tests,
     short/long classification, compacted hit lists, and short-window starts.
 
@@ -858,35 +919,47 @@ def _chord_tables(angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws):
     than the angular-margin wedges) and the basis of the windowed U
     optimization: most outer-tile hits have chords << the full radius
     segment, so their operands are built on a ws-row window instead.
+
+    ``npe``: count of real (non-padding) spokes; ghost spokes past it are
+    masked out of the hit lists entirely (their samples are zero, so
+    evaluating them would be pure waste).
     """
     import numpy as np
 
-    tiles = nxos // tile
+    if tile_y is None:
+        tile_y = tile
+    tiles_y, tiles_x = nxos // tile_y, nxos // tile
+    t2 = tiles_y * tiles_x
     h = nxos // 2
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
 
-    lo_list, hi_list = [], []
+    # fully broadcast over (T2, 2, npe'): tile rects are static numpy, the
+    # sign flips the ray direction.  (A python loop over tiles x signs here
+    # emitted ~500 tiny ops and cost ~0.2 ms/frame of pure dispatch.)
+    ii, jj = np.meshgrid(np.arange(tiles_y), np.arange(tiles_x), indexing="ij")
+    ex = kernwidth + 1
+    y0 = (ii.ravel() * tile_y - h - ex).astype(np.float32)[:, None, None]
+    y1 = ((ii.ravel() + 1) * tile_y - 1 - h + ex).astype(np.float32)[:, None, None]
+    x0 = (jj.ravel() * tile - h - ex).astype(np.float32)[:, None, None]
+    x1 = ((jj.ravel() + 1) * tile - 1 - h + ex).astype(np.float32)[:, None, None]
     big = jnp.float32(1e9)
-    for i in range(tiles):
-        y0, y1 = i * tile - h - (kernwidth + 1), (i + 1) * tile - 1 - h + (kernwidth + 1)
-        for j in range(tiles):
-            x0, x1 = j * tile - h - (kernwidth + 1), (j + 1) * tile - 1 - h + (kernwidth + 1)
-            for sgn in (1.0, -1.0):
-                c, s = sgn * ct, sgn * st
-                rx_lo = jnp.where(c > 0, x0 / c, jnp.where(c < 0, x1 / c, -big))
-                rx_hi = jnp.where(c > 0, x1 / c, jnp.where(c < 0, x0 / c, big))
-                ry_lo = jnp.where(s > 0, y0 / s, jnp.where(s < 0, y1 / s, -big))
-                ry_hi = jnp.where(s > 0, y1 / s, jnp.where(s < 0, y0 / s, big))
-                rmin = 0.0 if sgn > 0 else 1.0  # r == 0 gridded once (sign +)
-                lo = jnp.maximum(jnp.maximum(rx_lo, ry_lo), rmin)
-                hi = jnp.minimum(jnp.minimum(rx_hi, ry_hi), float(h - 1))
-                lo_list.append(lo)
-                hi_list.append(hi)
-    lo = jnp.stack(lo_list).reshape(tiles * tiles, 2, -1)   # (T2, 2, npe')
-    hi = jnp.stack(hi_list).reshape(tiles * tiles, 2, -1)
+    sgn = jnp.asarray([1.0, -1.0], jnp.float32)[None, :, None]
+    c = sgn * ct[None, None, :]                             # (1->T2, 2, npe')
+    s = sgn * st[None, None, :]
+    rx_lo = jnp.where(c > 0, x0 / c, jnp.where(c < 0, x1 / c, -big))
+    rx_hi = jnp.where(c > 0, x1 / c, jnp.where(c < 0, x0 / c, big))
+    ry_lo = jnp.where(s > 0, y0 / s, jnp.where(s < 0, y1 / s, -big))
+    ry_hi = jnp.where(s > 0, y1 / s, jnp.where(s < 0, y0 / s, big))
+    rmin = jnp.asarray([0.0, 1.0], jnp.float32)[None, :, None]
+    lo = jnp.maximum(jnp.maximum(rx_lo, ry_lo), rmin)       # (T2, 2, npe')
+    hi = jnp.minimum(jnp.minimum(rx_hi, ry_hi), float(h - 1))
 
     hit = hi >= lo
+    if npe is not None and npe < nch * pe_chunk:
+        # padded spokes sort last (edge-mode angle padding appends them
+        # after the sorted real spokes), so a plain index test masks them
+        hit = hit & (jnp.arange(nch * pe_chunk) < npe)[None, None, :]
     length = hi - lo
     short = hit & (length <= ws - 4)
     long_ = hit & ~short
@@ -900,43 +973,66 @@ def _chord_tables(angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws):
     w0m = jnp.clip(h - jnp.ceil(hi[:, 1]) - 2, 0, h - ws)
     w0 = jnp.stack([w0p, w0m], axis=1).astype(jnp.int32)    # (T2, 2, npe')
 
-    def pack(mask):
-        m = mask.reshape(tiles * tiles, 2, nch, pe_chunk)
-        hl = jnp.argsort(~m, axis=-1, stable=True).astype(jnp.int32)
-        cnt = m.sum(-1).astype(jnp.int32)
-        return cnt, hl
-
-    cnt_l, hl_l = pack(long_)
-    cnt_s, hl_s = pack(short)
+    cnt_l, hl_l = _pack_hits(long_, t2, nch, pe_chunk)
+    cnt_s, hl_s = _pack_hits(short, t2, nch, pe_chunk)
     # window starts aligned with the short hit list's compacted order
-    w0c = w0.reshape(tiles * tiles, 2, nch, pe_chunk)
-    w0s = jnp.take_along_axis(w0c, hl_s, axis=-1)
+    w0c = w0.reshape(t2, 2, nch, pe_chunk)
+    w0s = jnp.take_along_axis(w0c, hl_s.astype(jnp.int32), axis=-1)
     return cnt_l, hl_l, cnt_s, hl_s, w0s
+
+
+def _pack_hits(mask, t2, nch, pe_chunk):
+    """Front-compact each chunk's hitting slots WITHOUT a sort.
+
+    hl[p] = slot of the p-th hit = #slots s with inclusive-cumsum(hit)[s]
+    <= p (the cumsum reaches p+1 exactly at that slot) — a (pe_chunk x
+    pe_chunk) comparison-count instead of jnp.argsort, which lowers to a
+    variadic sort HLO and measurably dominated the per-frame table build
+    (~0.2 ms/frame of 16K eight-element sorts).  Entries past the hit
+    count are garbage (= pe_chunk-ish) and are never read: the kernel's
+    hit loops bound at cnt.
+    """
+    m = mask.reshape(t2, 2, nch, pe_chunk)
+    cum = jnp.cumsum(m, axis=-1, dtype=jnp.int32)          # inclusive
+    p = jnp.arange(pe_chunk, dtype=jnp.int32)
+    hl = jnp.sum(
+        (cum[..., :, None] <= p[None, :]).astype(jnp.int32), axis=-2
+    )                                                      # (..., pe_chunk)
+    hl = jnp.minimum(hl, pe_chunk - 1)
+    cnt = cum[..., -1]
+    return cnt, hl.astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
-        "ws",
+        "ws", "tile_y",
     ),
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
-    ws=None,
+    ws=None, tile_y=None,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
     row count) defaults to 48 — measured best on the whole-body geometry
     (2.89 ms/frame vs 2.98 at 64 and 2.93 at 32): covers chords <= 44
     (~60% of hits) at a quarter of the full-segment operand cost.
-    Override with TRON_WS (read at import)."""
+    Override with TRON_WS (read at import).
+
+    Tiles are tile_y x tile (rows x lanes).  Shrinking tile_y shrinks the
+    channel-expanded U operand (c2*tile_y lanes) — the measured store
+    hotspot — while the lane-dim tile stays at the 128 the hardware wants.
+    """
     if ws is None:
         ws = _WS
+    if tile_y is None:
+        tile_y = tile
     C, npe, nro = data.shape
     c2 = 2 * C
-    tiles = nxos // tile
-    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
+    tiles_y, tiles_x = nxos // tile_y, nxos // tile
+    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth, tile_y=tile_y)
 
     passes = 3 if matmul_dtype == "bf16x3" else 1
     itemsize = 4 if matmul_dtype == "float32" else 2
@@ -944,18 +1040,29 @@ def _pallas_win_impl(
     budget = int(_os.environ.get("TRON_VMEM_BUDGET", 12 * 1024 * 1024))
     while (
         pe_chunk > 4
-        and nscr * pe_chunk * (seg + ws) * (c2 * tile + tile) * itemsize > budget
+        and nscr * pe_chunk * (seg + ws) * (c2 * tile_y + tile) * itemsize > budget
     ):
         pe_chunk //= 2
 
-    s2, angles_s, nch, _, _ = _prep_samples(data, nxos, pe_chunk, angles, "prc")
+    # chunk-fusion factor: each grid step sweeps kf pe-chunks through an
+    # in-kernel loop, cutting the step count tiles^2*nch -> tiles^2*nch/kf
+    # (the measured per-step cost is ~3 us; at 416 steps that was ~44% of
+    # the whole-body frame).  Clamp so the fused sample block (double-
+    # buffered by the pipeline) stays modest.
+    kf = max(1, _KF)
+    while kf > 1 and 2 * kf * pe_chunk * nxos * c2 * 4 > 4 * 1024 * 1024:
+        kf //= 2
+
+    s2, angles_s, nch, _, _ = _prep_samples(
+        data, nxos, pe_chunk, angles, "prc", kf=kf
+    )
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
     s2 = s2.astype(jnp.float32)
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
 
     cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
-        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws
+        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe, tile_y=tile_y
     )
     if _os.environ.get("TRON_CULL") == "none":  # debug: dispatch-floor timing
         cnt_l = cnt_l * 0
@@ -963,10 +1070,9 @@ def _pallas_win_impl(
     seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
 
     # TRON_RESIDENT=1 holds the whole spoke set in VMEM (constant-index
-    # block, fetched once) instead of re-DMAing a per-chunk block per grid
-    # step.  Measured NEUTRAL-to-slightly-slower on the whole-body geometry
-    # (2.78 vs 2.74 ms/frame — the per-step DMA is already overlapped by the
-    # grid pipeline), so off by default; kept as a knob for other shapes.
+    # block, fetched once) instead of re-DMAing a per-step block.  Measured
+    # NEUTRAL-to-slightly-slower on the whole-body geometry (the per-step
+    # DMA is already overlapped by the grid pipeline), so off by default.
     s2_bytes = nch * pe_chunk * nxos * c2 * 4
     resident = (
         _os.environ.get("TRON_RESIDENT", "0") not in ("", "0")
@@ -979,46 +1085,49 @@ def _pallas_win_impl(
         nxos=nxos,
         seg=seg,
         ws=ws,
-        tiles=tiles,
-        ty=tile,
+        tiles_x=tiles_x,
+        ty=tile_y,
         tx=tile,
         c2=c2,
         kernwidth=kernwidth,
         kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
         scale=1.0 / (nxos * npe),
         mm_dtype=mm_dtype,
+        nch=nch,
+        kf=kf,
         passes=passes,
         resident=resident,
     )
 
     operand_scratch = [
         pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
-        pltpu.VMEM((pe_chunk * seg, c2 * tile), mm_dtype),
+        pltpu.VMEM((pe_chunk * seg, c2 * tile_y), mm_dtype),
         pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
-        pltpu.VMEM((pe_chunk * ws, c2 * tile), mm_dtype),
+        pltpu.VMEM((pe_chunk * ws, c2 * tile_y), mm_dtype),
     ]
     s_spec = (
         pl.BlockSpec((nch * pe_chunk, nxos, c2), lambda i, j, k, *_: (0, 0, 0))
         if resident
-        else pl.BlockSpec((pe_chunk, nxos, c2), lambda i, j, k, *_: (k, 0, 0))
+        else pl.BlockSpec((kf * pe_chunk, nxos, c2), lambda i, j, k, *_: (k, 0, 0))
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(tiles, tiles, nch),
+        grid=(tiles_y, tiles_x, nch // kf),
         in_specs=[s_spec],
         out_specs=pl.BlockSpec(
-            (tile, c2, tile), lambda i, j, k, *_: (j, 0, i)
+            (c2, tile_y, tile), lambda i, j, k, *_: (0, i, j)
         ),
-        scratch_shapes=[pltpu.VMEM((tile, c2 * tile), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((c2 * tile_y, tile), jnp.float32)]
         + operand_scratch * nscr
         + [pltpu.SMEM((2,), jnp.int32)],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nxos, c2, nxos), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c2, nxos, nxos), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **_vmem_limit_kw(),
         ),
         interpret=interpret,
     )(
@@ -1026,6 +1135,5 @@ def _pallas_win_impl(
         hl_s.reshape(-1), w0s.reshape(-1), ct, st, s2,
     )
 
-    out = jnp.transpose(out, (1, 2, 0))
     out = out.reshape(C, 2, nxos, nxos)
     return (out[:, 0] + 1j * out[:, 1]).astype(data.dtype)

@@ -136,6 +136,7 @@ def main():
         + 1j * rng.standard_normal((nc, 1, nro_k, work_k, npe2_k))
     ).astype(np.complex64)
     recon_radial2d(dk, cfg_k)
+    recon_radial2d(dk, cfg_k)  # second warmup: settles tunnel transfer state
     t0 = time.perf_counter()
     for _ in range(reps):
         recon_radial2d(dk, cfg_k)

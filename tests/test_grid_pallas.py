@@ -130,3 +130,62 @@ def test_vmap_over_frames(rng):
         want = np.asarray(one(jnp.asarray(data[f]), skips[f]))
         err = nrmse(got[f], want)
         assert err < 1e-6, f"frame {f}: vmap vs loop nrmse={err:.2e}"
+
+
+def test_planes_path_matches_complex_path(rng):
+    """grid_radial2d_pallas_planes (the hoisted once-per-acquisition prep)
+    must reproduce the complex-input path exactly: same kernel, the sample
+    relayout just happens outside."""
+    nxos = nro = 256
+    data, angles = _case(rng, 3, 20, nro)
+    want = _run(data, angles, nxos, tile=128, pe_chunk=4)
+    planes = grid_pallas.to_sample_planes(data, nxos)
+    assert planes.shape == (20, nxos, 6)
+    got = np.asarray(
+        grid_pallas.grid_radial2d_pallas_planes(
+            planes, angles, nxos, 2.0, kb_beta(2.0, 2.0), pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    err = nrmse(got, want)
+    assert err < 1e-7, f"planes vs complex path nrmse={err:.2e}"
+
+
+def test_recon_frames_planes_path_equivalence(rng):
+    """recon_frames' hoisted planes fast path (backend='pallas' on the CPU
+    interpreter is not available, so drive the pieces directly): SDC +
+    to_sample_planes + window slice + planes gridding must equal the
+    nufft_adjoint chain on the sliced complex window."""
+    import dataclasses
+
+    import jax
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import nufft_adjoint, sdc_weights
+
+    nro, npe1, work, slide = 256, 28, 20, 4
+    cfg = ReconConfig(golden_angle=True, adjoint=True, backend="jnp")
+    data = (
+        rng.standard_normal((2, npe1, nro)) + 1j * rng.standard_normal((2, npe1, nro))
+    ).astype(np.complex64)
+    d = jnp.asarray(data)
+
+    w = sdc_weights(cfg, nro, work).astype(d.dtype)
+    planes = grid_pallas.to_sample_planes(d * w, nro)
+    z = 2
+    win_p = jax.lax.dynamic_slice_in_dim(planes, z * slide, work, axis=0)
+    angles = spoke_angles(work, AngleScheme.GOLDEN, z * slide)
+    kgrid_planes = np.asarray(
+        grid_pallas.grid_radial2d_pallas_planes(
+            win_p, angles, nro, 2.0, kb_beta(2.0, 2.0), pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    win_c = jax.lax.dynamic_slice_in_dim(d, z * slide, work, axis=-2)
+    from tron_tpu.ops.grid import grid_radial2d
+
+    kgrid_ref = np.asarray(
+        grid_radial2d(win_c * w, angles, nro, 2.0, kb_beta(2.0, 2.0))
+    )
+    err = nrmse(kgrid_planes, kgrid_ref)
+    assert err < 1e-5, f"planes window vs reference gridder nrmse={err:.2e}"

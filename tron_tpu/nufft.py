@@ -94,6 +94,41 @@ def nufft_adjoint(
     return img
 
 
+def planes_path_ok(cfg: ReconConfig, nro: int) -> bool:
+    """True when the hoisted sample-plane fast path applies: Pallas windowed
+    gridder (TPU), identity radius map (nro == nxos, the gridos=2 default)
+    and a tileable grid.  Used by recon_frames to lift the per-frame sample
+    relayout out of the frame loop."""
+    n = nro // 2
+    nxos = int(n * cfg.gridos)
+    if nxos != nro or nxos % 128 != 0 or nxos // 128 < 2:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and _on_tpu()
+
+
+def nufft_adjoint_planes(
+    planes: jnp.ndarray, angles: jnp.ndarray, cfg: ReconConfig
+) -> jnp.ndarray:
+    """Adjoint recon from pre-transformed sample planes (npe, nR, 2C) f32
+    (see ops.grid_pallas.to_sample_planes; SDC/radius map/mask applied
+    upstream, once per acquisition).  Returns coil images (C, n, n)."""
+    from tron_tpu.ops.grid_pallas import grid_radial2d_pallas_planes
+
+    nxos = planes.shape[-2]
+    n = int(round(nxos / cfg.gridos))
+    beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
+    kgrid = grid_radial2d_pallas_planes(
+        planes, angles, nxos, cfg.kernwidth, beta, matmul_dtype=cfg.matmul_dtype
+    )
+    img = centered_ifft2_unnormalized(kgrid)
+    img = crop_center(img, n)
+    if cfg.deapodize:
+        img = deapodize(img, nxos, cfg.kernwidth, beta)
+    return img
+
+
 def _patch_degrid_wrap_edges(
     samples, kgrid, angles, nro, kernwidth, beta, precision=None
 ):

@@ -111,7 +111,10 @@ def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None):
     if _BISECT == "u1":
         c2 = 1
     for c in range(c2):
-        u = sp[:, c : c + 1] * B
+        if _BISECT == "spconst":
+            u = B  # skip only the per-channel lane-broadcast of sp
+        else:
+            u = sp[:, c : c + 1] * B
         uh = u.astype(mm_dtype)
         u_scr[pl.ds(p * win, win), pl.ds(c * ty, ty)] = uh
         if lo_scr is not None:
@@ -526,6 +529,50 @@ def grid_radial2d_pallas(
     return _pallas_full_impl(
         data, angles, nxos, kernwidth, beta, pe_chunk, min(tile, nxos), matmul_dtype,
         interpret,
+    )
+
+
+def to_sample_planes(data: jnp.ndarray, nxos: int) -> jnp.ndarray:
+    """(..., C, npe, nro) complex -> (..., npe, nR, 2C) f32 sample planes.
+
+    The once-per-acquisition half of the gridder's sample prep: radius
+    resample + edge mask + the complex->real-plane relayout.  Hoist this
+    out of a sliding-window frame loop (frame windows are then plain
+    dynamic slices of the spoke axis) and call grid_radial2d_pallas_planes
+    per frame — saving the per-frame relayout (~0.1 ms/frame whole-body).
+    Density compensation must be applied to ``data`` beforehand.
+    """
+    *batch, C, npe, nro = data.shape
+    rr, ridx, valid = _radius_map(nxos, nro)
+    if nro == nxos:
+        ds = data * valid.astype(data.dtype)
+    else:
+        ds = jnp.take(data, ridx, axis=-1) * valid.astype(data.dtype)
+    s2 = jnp.stack([ds.real, ds.imag], axis=-3)     # (..., C, 2, npe, nR)
+    s2 = s2.reshape(tuple(batch) + (2 * C, npe, nxos))
+    return jnp.moveaxis(s2, -3, -1).astype(jnp.float32)
+
+
+def grid_radial2d_pallas_planes(
+    planes: jnp.ndarray,
+    angles: jnp.ndarray,
+    nxos: int,
+    kernwidth: float,
+    beta: float,
+    pe_chunk: int = 16,
+    tile: int = 128,
+    matmul_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Adjoint gridding from pre-transformed sample planes (npe, nR, 2C)
+    f32 (see to_sample_planes).  Returns (C, nxos, nxos) complex64.
+    Requires a tileable geometry (the planes fast path exists for the
+    whole-body-class shapes; other geometries use grid_radial2d_pallas)."""
+    assert nxos % tile == 0 and nxos // tile >= 2, (nxos, tile)
+    return _pallas_win_impl(
+        planes, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+        interpret, tile_y=_TY if _TY and nxos % _TY == 0 else None,
+        planes=True,
     )
 
 
@@ -1007,12 +1054,12 @@ def _pack_hits(mask, t2, nch, pe_chunk):
     jax.jit,
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
-        "ws", "tile_y",
+        "ws", "tile_y", "planes",
     ),
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
-    ws=None, tile_y=None,
+    ws=None, tile_y=None, planes=False,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
@@ -1029,8 +1076,12 @@ def _pallas_win_impl(
         ws = _WS
     if tile_y is None:
         tile_y = tile
-    C, npe, nro = data.shape
-    c2 = 2 * C
+    if planes:
+        npe, _nR, c2 = data.shape
+        C = c2 // 2
+    else:
+        C, npe, nro = data.shape
+        c2 = 2 * C
     tiles_y, tiles_x = nxos // tile_y, nxos // tile
     starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth, tile_y=tile_y)
 
@@ -1053,9 +1104,24 @@ def _pallas_win_impl(
     while kf > 1 and 2 * kf * pe_chunk * nxos * c2 * 4 > 4 * 1024 * 1024:
         kf //= 2
 
-    s2, angles_s, nch, _, _ = _prep_samples(
-        data, nxos, pe_chunk, angles, "prc", kf=kf
-    )
+    if planes:
+        # data is already (npe, nR, C2) f32 planes (radius-mapped, masked,
+        # density-compensated upstream, ONCE per acquisition — see
+        # to_sample_planes); only the per-frame angle sort + padding remain
+        from tron_tpu.trajectory import modang
+
+        order = jnp.argsort(modang(angles))
+        s2 = data[order]
+        angles_s = angles[order]
+        nch = -(-npe // (pe_chunk * kf)) * kf
+        padn = nch * pe_chunk - npe
+        if padn:
+            s2 = jnp.pad(s2, ((0, padn), (0, 0), (0, 0)))
+            angles_s = jnp.pad(angles_s, (0, padn), mode="edge")
+    else:
+        s2, angles_s, nch, _, _ = _prep_samples(
+            data, nxos, pe_chunk, angles, "prc", kf=kf
+        )
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
     s2 = s2.astype(jnp.float32)
     ct = jnp.cos(angles_s).astype(jnp.float32)
@@ -1136,4 +1202,5 @@ def _pallas_win_impl(
     )
 
     out = out.reshape(C, 2, nxos, nxos)
-    return (out[:, 0] + 1j * out[:, 1]).astype(data.dtype)
+    cplx = jnp.complex64 if planes else data.dtype
+    return (out[:, 0] + 1j * out[:, 1]).astype(cplx)

@@ -27,6 +27,14 @@ from tron_tpu.trajectory import spoke_angles
 from tron_tpu.utils.xfer import to_device, to_host
 
 
+def _combine(coilimg: jnp.ndarray, cfg: ReconConfig) -> jnp.ndarray:
+    if cfg.coil_combine == "walsh":
+        return coil_combine_walsh(coilimg, cfg.walsh_npatch)
+    if cfg.coil_combine == "sos":
+        return coil_combine_sos(coilimg, axis=0)
+    return coilimg
+
+
 def reconstruct_frame(
     data_window: jnp.ndarray,
     skip: jnp.ndarray,
@@ -43,11 +51,7 @@ def reconstruct_frame(
         coilimg = cgnr_radial2d(data_window, angles, cfg)
     else:
         coilimg = nufft_adjoint(data_window, angles, cfg)
-    if cfg.coil_combine == "walsh":
-        return coil_combine_walsh(coilimg, cfg.walsh_npatch)
-    if cfg.coil_combine == "sos":
-        return coil_combine_sos(coilimg, axis=0)
-    return coilimg
+    return _combine(coilimg, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "npe1work", "prof_slide", "nz"))
@@ -64,6 +68,26 @@ def recon_frames(
     ``skip0`` is a *traced* global profile offset of data[..., 0, :] within
     the full acquisition — the streaming driver feeds overlapping blocks of
     a huge file through one compiled program by varying it."""
+    from tron_tpu.nufft import nufft_adjoint_planes, planes_path_ok, sdc_weights
+
+    nro = data.shape[-1]
+    if cfg.niter == 0 and planes_path_ok(cfg, nro):
+        # hoist the once-per-acquisition half of the gridder's sample prep
+        # (SDC, edge mask, complex->plane relayout) out of the frame loop;
+        # each frame is then a plain dynamic slice of the spoke axis
+        from tron_tpu.ops.grid_pallas import to_sample_planes
+
+        w = sdc_weights(cfg, nro, npe1work).astype(data.dtype)
+        planes = to_sample_planes(data * w, nro)
+        scheme = cfg.scheme_for("adjoint")
+
+        def one_p(z):
+            pe0 = z * prof_slide
+            win = jax.lax.dynamic_slice_in_dim(planes, pe0, npe1work, axis=0)
+            angles = spoke_angles(npe1work, scheme, cfg.skip_angles + skip0 + pe0)
+            return _combine(nufft_adjoint_planes(win, angles, cfg), cfg)
+
+        return jax.lax.map(one_p, jnp.arange(nz), batch_size=min(nz, 8))
 
     def one(z):
         pe0 = z * prof_slide

@@ -52,26 +52,46 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
     ncs = mesh.shape["coil"]
     nzp = -(-nz // nfr) * nfr  # pad frame count to the mesh
 
+    from tron_tpu.nufft import nufft_adjoint_planes, planes_path_ok, sdc_weights
+
+    use_planes = cfg.niter == 0 and planes_path_ok(cfg, nro)
+
     def worker(d_local: jnp.ndarray) -> jnp.ndarray:
         # d_local: (nc/ncs, npe1, nro); all frames' windows come from the
         # replicated-in-'frame' profile stream via dynamic_slice.
         fid = jax.lax.axis_index("frame")
         per = nzp // nfr
 
+        if use_planes:
+            # hoist the once-per-acquisition sample prep out of the frame
+            # loop, per coil shard (same fast path as recon_frames)
+            from tron_tpu.ops.grid_pallas import to_sample_planes
+
+            w = sdc_weights(cfg, nro, npe1work).astype(d_local.dtype)
+            planes = to_sample_planes(d_local * w, nro)
+
         def one(i):
             z = fid * per + i
             zc = jnp.minimum(z, nz - 1)  # padded tail recomputes last frame
             pe0 = zc * prof_slide
-            win = jax.lax.dynamic_slice_in_dim(d_local, pe0, npe1work, axis=-2)
             angles = spoke_angles(
                 npe1work, cfg.scheme_for("adjoint"), cfg.skip_angles + pe0
             )
             if cfg.niter > 0:
                 # CG inner products must be global across the coil shards
+                win = jax.lax.dynamic_slice_in_dim(
+                    d_local, pe0, npe1work, axis=-2
+                )
                 coilimg = cgnr_radial2d(
                     win, angles, cfg, reduce_axes=("coil",) if ncs > 1 else ()
                 )
+            elif use_planes:
+                winp = jax.lax.dynamic_slice_in_dim(planes, pe0, npe1work, axis=0)
+                coilimg = nufft_adjoint_planes(winp, angles, cfg)
             else:
+                win = jax.lax.dynamic_slice_in_dim(
+                    d_local, pe0, npe1work, axis=-2
+                )
                 coilimg = nufft_adjoint(win, angles, cfg)
             if cfg.coil_combine != "sos":
                 return coilimg                       # (nc/ncs, n, n)

@@ -211,3 +211,40 @@ def test_degrid_pallas_bf16x3_fp32_grade_on_tpu(rng):
     m = (np.abs(ro - n // 2) <= n // 2 - 4) & (ro != 0)
     err = _nrmse(got[..., m], want[..., m])
     assert err < 1e-4, f"bf16x3 degrid: {err:.2e}"
+
+
+def test_recon_frames_planes_path_on_tpu(rng):
+    """recon_frames' hoisted planes fast path must match the per-frame
+    complex-path chain (reconstruct_frame) on hardware — exercised at a
+    geometry that activates the planes path (nro = 512)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.recon import recon_frames, reconstruct_frame
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    nc, nro, slide = 4, 512, 21
+    cfg = ReconConfig(
+        golden_angle=True, data_undersamp=0.4, prof_slide=slide, adjoint=True
+    )
+    work = cfg.npe1work(nro, 10**9)
+    nz = 3
+    npe1 = work + (nz - 1) * slide
+    data = (
+        rng.standard_normal((nc, npe1, nro))
+        + 1j * rng.standard_normal((nc, npe1, nro))
+    ).astype(np.complex64)
+    d = to_device(data)
+
+    got = to_host(recon_frames(d, cfg, work, slide, nz))  # planes path
+    for z in range(nz):
+        win = jax.lax.dynamic_slice_in_dim(d, z * slide, work, axis=-2)
+        want = to_host(
+            jax.jit(lambda w, s: reconstruct_frame(w, s, cfg))(
+                win, jnp.asarray(z * slide, jnp.int32)
+            )
+        )
+        err = _nrmse(got[z], want)
+        # identical kernel and rounding; only op order differs
+        assert err < 1e-5, f"frame {z}: planes vs complex path nrmse={err:.2e}"

@@ -1,0 +1,66 @@
+"""MXU DFT epilogue/prologue vs the FFT chain: exact fold of the fftshift
+sandwich + crop/pad + deapodization into two matmuls (ops/fftops.py), and
+exact adjointness of the pair (what CGNR's operator dot test relies on)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tron_tpu.kernels.kb import kb_beta
+from tron_tpu.ops.fftops import (
+    adjoint_image_mxu,
+    centered_fft2,
+    centered_ifft2_unnormalized,
+    crop_center,
+    deapodize,
+    forward_kspace_mxu,
+    pad_center,
+)
+
+
+@pytest.mark.parametrize("deapod", [True, False])
+def test_adjoint_image_mxu_matches_fft_chain(rng, deapod):
+    nxos, n, kw = 128, 64, 2.0
+    beta = kb_beta(kw, 2.0)
+    K = (
+        rng.standard_normal((3, nxos, nxos))
+        + 1j * rng.standard_normal((3, nxos, nxos))
+    ).astype(np.complex64)
+    ref = crop_center(centered_ifft2_unnormalized(jnp.asarray(K)), n)
+    if deapod:
+        ref = deapodize(ref, nxos, kw, beta)
+    got = adjoint_image_mxu(jnp.asarray(K), n, kw, beta, deapod)
+    err = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("deapod", [True, False])
+def test_forward_kspace_mxu_matches_fft_chain(rng, deapod):
+    nxos, n, kw = 128, 64, 2.0
+    beta = kb_beta(kw, 2.0)
+    img = (
+        rng.standard_normal((2, n, n)) + 1j * rng.standard_normal((2, n, n))
+    ).astype(np.complex64)
+    x = pad_center(jnp.asarray(img), nxos)
+    if deapod:
+        x = deapodize(x, nxos, kw, beta)
+    ref = centered_fft2(x)
+    got = forward_kspace_mxu(jnp.asarray(img), nxos, kw, beta, deapod)
+    err = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert err < 1e-5, err
+
+
+def test_mxu_dft_pair_is_adjoint(rng):
+    nxos, n, kw = 128, 64, 2.0
+    beta = kb_beta(kw, 2.0)
+    x = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(
+        np.complex64
+    )
+    y = (
+        rng.standard_normal((nxos, nxos)) + 1j * rng.standard_normal((nxos, nxos))
+    ).astype(np.complex64)
+    Ax = forward_kspace_mxu(jnp.asarray(x), nxos, kw, beta)
+    Aty = adjoint_image_mxu(jnp.asarray(y), n, kw, beta)
+    lhs = complex(jnp.vdot(Ax, jnp.asarray(y)))
+    rhs = complex(jnp.vdot(jnp.asarray(x), Aty))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5

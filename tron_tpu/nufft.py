@@ -26,10 +26,12 @@ from tron_tpu.config import ReconConfig
 from tron_tpu.kernels.kb import kb_beta
 from tron_tpu.ops.degrid import degrid_radial2d
 from tron_tpu.ops.fftops import (
+    adjoint_image_mxu,
     centered_fft2,
     centered_ifft2_unnormalized,
     crop_center,
     deapodize,
+    forward_kspace_mxu,
     pad_center,
 )
 from tron_tpu.ops.grid import grid_radial2d
@@ -87,6 +89,17 @@ def nufft_adjoint(
     flat = data.reshape((-1,) + data.shape[-2:])
     kgrid = _grid_backend(cfg)(flat, angles, nxos, cfg.kernwidth, beta)
     kgrid = kgrid.reshape(batch + (nxos, nxos))
+    return _adjoint_epilogue(kgrid, n, cfg, beta)
+
+
+def _adjoint_epilogue(kgrid, n, cfg, beta):
+    """Centered unnormalized IFFT + crop + deapod.  On TPU the whole chain
+    runs as two MXU matmuls (XLA's VPU FFT costs more than the gridding
+    kernel at these sizes; see ops.fftops.adjoint_image_mxu — exact to
+    ~3e-7 and the literal adjoint of the forward prologue)."""
+    nxos = kgrid.shape[-1]
+    if _on_tpu():
+        return adjoint_image_mxu(kgrid, n, cfg.kernwidth, beta, cfg.deapodize)
     img = centered_ifft2_unnormalized(kgrid)
     img = crop_center(img, n)
     if cfg.deapodize:
@@ -122,11 +135,7 @@ def nufft_adjoint_planes(
     kgrid = grid_radial2d_pallas_planes(
         planes, angles, nxos, cfg.kernwidth, beta, matmul_dtype=cfg.matmul_dtype
     )
-    img = centered_ifft2_unnormalized(kgrid)
-    img = crop_center(img, n)
-    if cfg.deapodize:
-        img = deapodize(img, nxos, cfg.kernwidth, beta)
-    return img
+    return _adjoint_epilogue(kgrid, n, cfg, beta)
 
 
 def _patch_degrid_wrap_edges(
@@ -192,10 +201,15 @@ def nufft_forward(
         nro = nxos
     beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
 
-    x = pad_center(img, nxos)
-    if cfg.deapodize:
-        x = deapodize(x, nxos, cfg.kernwidth, beta)
-    kgrid = centered_fft2(x)
+    if _on_tpu():
+        # pad + deapod + centered FFT as two MXU matmuls (the conjugate
+        # transpose of the adjoint epilogue; see _adjoint_epilogue)
+        kgrid = forward_kspace_mxu(img, nxos, cfg.kernwidth, beta, cfg.deapodize)
+    else:
+        x = pad_center(img, nxos)
+        if cfg.deapodize:
+            x = deapodize(x, nxos, cfg.kernwidth, beta)
+        kgrid = centered_fft2(x)
     if cfg.backend in ("pallas", "auto") and nro == nxos:
         try:
             if cfg.backend == "pallas" or _on_tpu():

@@ -12,6 +12,9 @@ like cuFFT's CUFFT_INVERSE) so amplitudes match the reference pipelines.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from tron_tpu.kernels.kb import kb_hat
@@ -67,3 +70,88 @@ def deapodize(img: jnp.ndarray, nxos: int, kernwidth: float, beta: float) -> jnp
     <= 0 the pixel passes through, as in the reference (`src/tron.cu:400`)."""
     w = deapod_weights(img.shape[-1], nxos, kernwidth, beta)
     return jnp.where(w > 0, img / w.astype(img.dtype), img)
+
+
+# ---------------------------------------------------------------------------
+# MXU DFT epilogue/prologue
+#
+# XLA's TPU FFT runs on the VPU and costs ~0.5-1 ms for a 6x512^2 batch —
+# more than the whole gridding kernel.  At these sizes (<=1024) the centered
+# transforms are FAR cheaper as two small matmuls on the MXU, and the
+# fftshift sandwich, the center crop/pad, AND the separable deapodization
+# all fold into the (constant) DFT matrices:
+#
+#   adjoint:  img[y, x] = sum_{v,u} My[y, v] K[v, u] My[x, u]
+#     with My[y, v] = g[y] * exp(+2pi i (y - n/2)(v - N/2) / N)
+#     (g = 1/deapod weight) — this IS fftshift(ifft2(ifftshift(K))) * N^2
+#     cropped to n and deapodized, exactly.
+#   forward:  K[v, u]  = sum_{y, x} conj(My)[y, v] img[y, x] conj(My)[x, u]
+#     = the pad -> deapod -> centered fft2 prologue, and the literal
+#     conjugate-transpose of the adjoint epilogue, so the operator pair
+#     stays exactly adjoint (CGNR's dot test).
+#
+# Run at precision HIGHEST: fp32-grade on the MXU at ~6x the bf16 matmul
+# cost, still ~an order of magnitude under the VPU FFT.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _centered_dft_mat(n: int, nxos: int, kernwidth: float, beta: float, deapod: bool):
+    """(n, nxos) complex64 matrix of the centered unnormalized inverse DFT
+    restricted to the n-point center crop, with the 1/deapod weight folded
+    in.  Built in float64 numpy (a baked constant, not traced ops)."""
+    import numpy as np
+
+    y = np.arange(n, dtype=np.float64) - n / 2
+    v = np.arange(nxos, dtype=np.float64) - nxos / 2
+    M = np.exp((2j * np.pi / nxos) * np.outer(y, v))
+    if deapod:
+        # the separable 1-D deapod factor (w[y, x] = f[y] * f[x]); pixels
+        # with f <= 0 pass through, matching deapodize().  Pure-numpy
+        # kb_hat (kernels/kb.py:85) — this builder may run under tracing,
+        # where jnp ops would produce tracers, not constants.
+        u = (np.arange(n, dtype=np.float64) - n // 2) / nxos
+        r = np.pi * (2.0 * kernwidth) * u
+        q = r * r - beta * beta
+        az = np.sqrt(np.abs(q))
+        safe = np.where(az > 1e-12, az, 1.0)
+        f = np.where(q > 0, np.sin(safe) / safe, np.sinh(safe) / safe)
+        f = np.where(az > 1e-12, f, 1.0)
+        # match the float32 evaluation of deapodize()/kb_hat bit-closely
+        f = f.astype(np.float32).astype(np.float64)
+        g = np.where(f > 0, 1.0 / np.where(f > 0, f, 1.0), 1.0)
+        M = g[:, None] * M
+    # cache NUMPY (converting to a jax array here would capture a tracer
+    # when the first call happens under jit tracing); callers jnp.asarray
+    return M.astype(np.complex64)
+
+
+def adjoint_image_mxu(
+    kgrid: jnp.ndarray, n: int, kernwidth: float, beta: float, deapod: bool = True
+) -> jnp.ndarray:
+    """Fused centered-unnormalized-IFFT + crop + deapodize as two MXU
+    matmuls (see module comment).  kgrid (..., nxos, nxos) -> (..., n, n)."""
+    nxos = kgrid.shape[-1]
+    M = jnp.asarray(_centered_dft_mat(n, nxos, kernwidth, beta, deapod))
+    t = jnp.einsum(
+        "yv,...vu->...yu", M, kgrid, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "...yu,xu->...yx", t, M, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def forward_kspace_mxu(
+    img: jnp.ndarray, nxos: int, kernwidth: float, beta: float, deapod: bool = True
+) -> jnp.ndarray:
+    """Fused pad + deapodize + centered-FFT as two MXU matmuls — the exact
+    conjugate-transpose of adjoint_image_mxu.  img (..., n, n) ->
+    (..., nxos, nxos)."""
+    n = img.shape[-1]
+    Mh = jnp.conj(jnp.asarray(_centered_dft_mat(n, nxos, kernwidth, beta, deapod)))
+    t = jnp.einsum(
+        "vy,...yx->...vx", Mh.T, img, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "...vx,ux->...vu", t, Mh.T, precision=jax.lax.Precision.HIGHEST
+    )

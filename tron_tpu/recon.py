@@ -277,9 +277,13 @@ def _koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc):
         )                                  # (nt, nzi, n, n)
 
     # slice batch of 2: vmapping the Pallas gridder stacks each batch
-    # element's output block on the scoped-vmem stack (16 MB HW limit), so
-    # a batch of 4 at 256^2 x 12 planes already overflows it
-    out = jax.lax.map(per_slice, sl, batch_size=min(npe2, 2))
+    # element's output block on the scoped-vmem stack (16 MB default
+    # limit), so a batch of 4 at 256^2 x 12 planes already overflows it.
+    # TRON_KOOSH_BATCH raises it (pair with TRON_VMEM_LIMIT).
+    import os as _os
+
+    bs = int(_os.environ.get("TRON_KOOSH_BATCH", "2"))
+    out = jax.lax.map(per_slice, sl, batch_size=min(npe2, bs))
     # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
     return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
 

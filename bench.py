@@ -12,12 +12,19 @@ This script times the same per-frame work (identical frame geometry and
 recon pipeline) over a frame subset sized to keep the benchmark short, and
 reports coil-samples/s.  Run on TPU (default platform); prints exactly one
 JSON line.
+
+Fault tolerance: the tunneled TPU client can throw transient errors
+(FailedPrecondition at a readback was observed once per ~10 runs).  Every
+measurement section runs under retry (fresh compile + fresh warmup each
+attempt), failed sections degrade to an "errors" entry instead of killing
+the run, and the JSON line is ALWAYS printed with whatever was measured.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -25,9 +32,80 @@ import numpy as np
 # src/tron.cu:926 geometry); set BENCH_FRAMES=64 for a quicker run
 NFRAMES = int(os.environ.get("BENCH_FRAMES", "956"))
 BACKEND = os.environ.get("BENCH_BACKEND", "auto")
+RETRIES = int(os.environ.get("BENCH_RETRIES", "3"))
+
+BASELINE_MSPS = 183.0  # derived reference throughput (BASELINE.md)
+
+RESULT = {
+    "metric": "gridding_throughput_whole_body",
+    "value": None,
+    "unit": "Msamples/s/chip",
+    "vs_baseline": None,
+}
+
+_PRINTED = False
+
+
+def _emit():
+    """Print the one JSON result line exactly once (watchdog-safe)."""
+    global _PRINTED
+    if not _PRINTED:
+        _PRINTED = True
+        print(json.dumps(RESULT), flush=True)
+
+
+def _arm_watchdog():
+    """The tunneled TPU client can HANG (not raise) at a readback — a futex
+    wait no retry loop can see.  A daemon timer force-emits whatever was
+    measured and hard-exits before any outer driver timeout turns the run
+    into an empty record.  BENCH_WATCHDOG_S=0 disables."""
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
+    if budget <= 0:
+        return
+
+    def fire():
+        RESULT.setdefault("errors", {})["watchdog"] = (
+            f"run exceeded {budget:.0f}s (hung TPU readback?); "
+            "emitting partial results"
+        )
+        _emit()
+        os._exit(0 if RESULT.get("value") is not None else 1)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+
+
+def _attempt(name, fn, result, retries=RETRIES):
+    """Run a measurement section with retries; record errors, never raise.
+
+    Each attempt calls fn() from scratch, so a transient tunnel failure at a
+    readback retries the full warmup+timing with fresh device state.
+    Returns True on success.
+    """
+    last = None
+    for i in range(retries):
+        try:
+            fn()
+            return True
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:  # noqa: BLE001 - jaxlib raises non-Exception types
+            last = e
+            sys.stderr.write(
+                f"[bench] section {name!r} attempt {i + 1}/{retries} failed: "
+                f"{type(e).__name__}: {e}\n"
+            )
+            traceback.print_exc(file=sys.stderr)
+            time.sleep(2.0 * (i + 1))
+    result.setdefault("errors", {})[name] = f"{type(last).__name__}: {last}"
+    return False
 
 
 def main():
+    _arm_watchdog()
     import jax
 
     try:
@@ -39,6 +117,10 @@ def main():
 
     from tron_tpu.config import ReconConfig
     from tron_tpu.recon import recon_frames
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    RESULT["platform"] = jax.devices()[0].platform
+    RESULT["backend"] = BACKEND
 
     # whole-body frame geometry: nro=512, npe1work=204, slide=21 (RUNME3:10)
     nc, nro, slide = 6, 512, 21
@@ -47,35 +129,54 @@ def main():
         backend=BACKEND,
     )
     work = cfg.npe1work(nro, 10**9)  # 204
-    nz = NFRAMES
-    npe1 = work + (nz - 1) * slide
-
-    from tron_tpu.utils.xfer import to_device
 
     rng = np.random.default_rng(0)
-    data = (
-        rng.standard_normal((nc, npe1, nro)) + 1j * rng.standard_normal((nc, npe1, nro))
-    ).astype(np.complex64)
-    d = to_device(data)
 
-    def run(x):
-        out = recon_frames(x, cfg, work, slide, nz)
-        # force completion with a scalar readback: block_until_ready alone
-        # does not reliably block through tunneled TPU clients
-        return float(jnp.sum(jnp.abs(out)))
+    def measure_throughput(nz):
+        """Warmup + 3 timed reps at nz frames; returns (msps, frames_s, dt)."""
+        npe1 = work + (nz - 1) * slide
+        data = (
+            rng.standard_normal((nc, npe1, nro))
+            + 1j * rng.standard_normal((nc, npe1, nro))
+        ).astype(np.complex64)
+        d = to_device(data)
 
-    run(d)  # warmup/compile (incl. the scaling multiply below)
-    run(d * 1.0001)
+        def run(x):
+            out = recon_frames(x, cfg, work, slide, nz)
+            # force completion with a scalar readback: block_until_ready
+            # alone does not reliably block through tunneled TPU clients
+            return float(jnp.sum(jnp.abs(out)))
 
-    reps = 3
-    t0 = time.perf_counter()
-    for i in range(reps):
-        run(d * (1.0 + 0.0001 * i))
-    dt = (time.perf_counter() - t0) / reps
+        run(d)  # warmup/compile (incl. the scaling multiply below)
+        run(d * 1.0001)
+        reps = 3
+        t0 = time.perf_counter()
+        for i in range(reps):
+            run(d * (1.0 + 0.0001 * i))
+        dt = (time.perf_counter() - t0) / reps
+        samples = nz * nc * nro * work
+        return samples / dt / 1e6, nz / dt, dt
 
-    samples = nz * nc * nro * work
-    msps = samples / dt / 1e6
-    frames_s = nz / dt
+    # --- headline throughput (with reduced-frame fallback) -----------------
+    def headline():
+        msps, frames_s, dt = measure_throughput(NFRAMES)
+        RESULT["value"] = round(msps, 2)
+        RESULT["vs_baseline"] = round(msps / BASELINE_MSPS, 3)
+        RESULT["frames_per_s"] = round(frames_s, 2)
+        RESULT["frames"] = NFRAMES
+        RESULT["seconds_per_run"] = round(dt, 3)
+
+    if not _attempt("throughput", headline, RESULT):
+        # full-size run kept failing: record SOMETHING real at 64 frames
+        def fallback():
+            msps, frames_s, dt = measure_throughput(64)
+            RESULT["value"] = round(msps, 2)
+            RESULT["vs_baseline"] = round(msps / BASELINE_MSPS, 3)
+            RESULT["frames_per_s"] = round(frames_s, 2)
+            RESULT["frames"] = 64
+            RESULT["seconds_per_run"] = round(dt, 3)
+
+        _attempt("throughput_fallback64", fallback, RESULT, retries=2)
 
     # --- accuracy story (structured data, fp32 anchor) ---------------------
     # One whole-body-geometry frame of phantom-derived multicoil data
@@ -84,85 +185,126 @@ def main():
     # path), Pallas bf16x3 (--precision accurate), and the XLA dense-einsum
     # gridder forced to fp32-grade matmul precision as the anchor.  The
     # BASELINE.md gate: accurate-mode NRMSE < 1e-3 vs the fp32 anchor.
+    import dataclasses
+
     from tron_tpu.nufft import nufft_adjoint, nufft_forward
     from tron_tpu.phantom import birdcage_sensitivities, shepp_logan
     from tron_tpu.trajectory import spoke_angles
-    from tron_tpu.utils.xfer import to_host
-    import dataclasses
 
-    n = nro // 2
-    img = shepp_logan(n)[None] * birdcage_sensitivities(n, nc)
-    angles = spoke_angles(work, "golden", 0)
-    cfg_j = dataclasses.replace(cfg, backend="jnp")
-    imgd = to_device(img.astype(np.complex64))
-    data_s = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=nro))(imgd)
-
-    a16 = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg))(data_s))
     cfg_a = dataclasses.replace(cfg, matmul_dtype="bf16x3")
-    a163 = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_a))(data_s))
-    with jax.default_matmul_precision("float32"):
-        ref = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_j))(data_s))
 
-    def nrmse(x, y):
-        return float(np.linalg.norm(x - y) / np.linalg.norm(y))
+    def accuracy():
+        n = nro // 2
+        img = shepp_logan(n)[None] * birdcage_sensitivities(n, nc)
+        angles = spoke_angles(work, "golden", 0)
+        cfg_j = dataclasses.replace(cfg, backend="jnp")
+        imgd = to_device(img.astype(np.complex64))
+        data_s = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=nro))(imgd)
 
-    nrmse_bf16, nrmse_bf16x3 = nrmse(a16, ref), nrmse(a163, ref)
+        a16 = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg))(data_s))
+        a163 = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_a))(data_s))
+        with jax.default_matmul_precision("float32"):
+            ref = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_j))(data_s))
 
-    # bf16x3 (--precision accurate) throughput over a short frame subset
-    nz_a = min(64, nz)
-    da = d[:, : work + (nz_a - 1) * slide]
+        def nrmse(x, y):
+            return float(np.linalg.norm(x - y) / np.linalg.norm(y))
 
-    def run_acc(x):
-        out = recon_frames(x, cfg_a, work, slide, nz_a)
-        return float(jnp.sum(jnp.abs(out)))
+        RESULT["nrmse_bf16_vs_fp32"] = round(nrmse(a16, ref), 6)
+        RESULT["nrmse_accurate_vs_fp32"] = round(nrmse(a163, ref), 7)
 
-    run_acc(da)
-    run_acc(da * 1.0001)
-    t0 = time.perf_counter()
-    for i in range(reps):
-        run_acc(da * (1.0 + 0.0001 * i))
-    dt_a = (time.perf_counter() - t0) / reps
-    msps_acc = nz_a * nc * nro * work / dt_a / 1e6
+    _attempt("accuracy", accuracy, RESULT)
 
-    # koosh (-3) stack-of-stars: kz slices through the single-jit device
-    # path (incl. host<->device transfers, the honest end-to-end rate)
-    from tron_tpu.recon import recon_radial2d
+    # --- bf16x3 (--precision accurate) throughput --------------------------
+    def accurate_throughput():
+        nz_a = 64
+        npe1 = work + (nz_a - 1) * slide
+        data = (
+            rng.standard_normal((nc, npe1, nro))
+            + 1j * rng.standard_normal((nc, npe1, nro))
+        ).astype(np.complex64)
+        da = to_device(data)
 
-    nro_k, npe2_k = 256, 8
-    cfg_k = dataclasses.replace(cfg, koosh=True, prof_slide=0, data_undersamp=1.0)
-    work_k = cfg_k.npe1work(nro_k, 10**9)
-    dk = (
-        rng.standard_normal((nc, 1, nro_k, work_k, npe2_k))
-        + 1j * rng.standard_normal((nc, 1, nro_k, work_k, npe2_k))
-    ).astype(np.complex64)
-    recon_radial2d(dk, cfg_k)
-    recon_radial2d(dk, cfg_k)  # second warmup: settles tunnel transfer state
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        recon_radial2d(dk, cfg_k)
-    koosh_slices_s = npe2_k / ((time.perf_counter() - t0) / reps)
+        def run_acc(x):
+            out = recon_frames(x, cfg_a, work, slide, nz_a)
+            return float(jnp.sum(jnp.abs(out)))
 
-    baseline_msps = 183.0  # derived reference throughput (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "gridding_throughput_whole_body",
-                "value": round(msps, 2),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(msps / baseline_msps, 3),
-                "frames_per_s": round(frames_s, 2),
-                "nrmse_bf16_vs_fp32": round(nrmse_bf16, 6),
-                "nrmse_accurate_vs_fp32": round(nrmse_bf16x3, 7),
-                "accurate_msamples_per_s": round(msps_acc, 2),
-                "koosh_slices_per_s": round(koosh_slices_s, 2),
-                "frames": nz,
-                "seconds_per_run": round(dt, 3),
-                "platform": jax.devices()[0].platform,
-                "backend": BACKEND,
-            }
+        run_acc(da)
+        run_acc(da * 1.0001)
+        reps = 3
+        t0 = time.perf_counter()
+        for i in range(reps):
+            run_acc(da * (1.0 + 0.0001 * i))
+        dt_a = (time.perf_counter() - t0) / reps
+        RESULT["accurate_msamples_per_s"] = round(
+            nz_a * nc * nro * work / dt_a / 1e6, 2
         )
-    )
+
+    _attempt("accurate_throughput", accurate_throughput, RESULT)
+
+    # --- koosh (-3) stack-of-stars -----------------------------------------
+    # Device rate: the jitted koosh pipeline (kz IFFT + slice-batched 2D
+    # gridding recons) timed on device-resident data, slope between npe2=16
+    # and 32 so fixed dispatch cancels.  The round-2 e2e number swung 2x
+    # between runs because it timed the tunnel (a 100-200 MB host upload per
+    # call), not the chip; the end-to-end rate is reported separately.
+    from tron_tpu.recon import _koosh_adjoint_device, recon_radial2d
+
+    def koosh():
+        nro_k = 256
+        cfg_k = dataclasses.replace(
+            cfg, koosh=True, prof_slide=0, data_undersamp=1.0
+        )
+        cfg2 = dataclasses.replace(cfg_k, koosh=False, prof_slide=0)
+        work_k = cfg_k.npe1work(nro_k, 10**9)
+
+        def time_koosh_device(npe2):
+            dk = (
+                rng.standard_normal((nc, work_k, nro_k, npe2))
+                + 1j * rng.standard_normal((nc, work_k, nro_k, npe2))
+            ).astype(np.complex64)
+            d = to_device(dk)
+
+            def run_k(x):
+                out = _koosh_adjoint_device(x, cfg2, work_k, work_k, 1, 1, nc)
+                return float(jnp.sum(jnp.abs(out)))
+
+            run_k(d)
+            run_k(d * 1.0001)
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                run_k(d * (1.0 + 0.0001 * i))
+            return (time.perf_counter() - t0) / reps
+
+        t16, t32 = time_koosh_device(16), time_koosh_device(32)
+        RESULT["koosh_slices_per_s"] = round(16 / max(t32 - t16, 1e-9), 2)
+
+        # end-to-end (host layout + tunnel transfers + compute), npe2=8
+        dk = (
+            rng.standard_normal((nc, 1, nro_k, work_k, 8))
+            + 1j * rng.standard_normal((nc, 1, nro_k, work_k, 8))
+        ).astype(np.complex64)
+        recon_radial2d(dk, cfg_k)
+        recon_radial2d(dk, cfg_k)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            recon_radial2d(dk, cfg_k)
+        RESULT["koosh_slices_per_s_e2e"] = round(8 / ((time.perf_counter() - t0) / 3), 2)
+
+    _attempt("koosh", koosh, RESULT)
+
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = 1
+    try:
+        rc = main() or 0
+    except KeyboardInterrupt:
+        raise
+    except BaseException as e:  # noqa: BLE001
+        RESULT.setdefault("errors", {})["main"] = f"{type(e).__name__}: {e}"
+        traceback.print_exc(file=sys.stderr)
+    # the one JSON line, ALWAYS — even a crashed run records what it measured
+    _emit()
+    sys.exit(0 if RESULT.get("value") is not None else rc)

@@ -30,6 +30,13 @@ def main():
     p.add_argument("--csv", default="output/dataset_metrics.csv")
     p.add_argument("--frames", default="0,-1", help="comma list; -1 = last")
     p.add_argument("--label", default=None)
+    p.add_argument(
+        "--oracle",
+        action="store_true",
+        help="also score each frame against the exact chunked DTFT adjoint "
+        "at the full frame geometry (the truly independent anchor, playing "
+        "IRT's role in src/RUNME4_others_grid_slcmt.m:283-312)",
+    )
     args = p.parse_args()
 
     from tron_tpu.utils import enable_compilation_cache
@@ -75,6 +82,36 @@ def main():
         lambda w, skip: reconstruct_frame(w, skip, cfg), static_argnums=()
     )
 
+    oracle_fn = None
+    if args.oracle:
+        import jax.numpy as jnp
+
+        from tron_tpu.nufft import sdc_weights
+        from tron_tpu.oracle import dtft2_adjoint_chunked
+        from tron_tpu.trajectory import spoke_angles
+
+        nc_d = int(hdr.dims[0])
+        kr = (np.arange(nro) / nro - 0.5) * nro
+
+        @jax.jit
+        def _oracle(win, skip):
+            """Exact adjoint recon of one (nc, work, nro) window -> SoS (n,n).
+
+            Same weighting/scaling contract as the fast path: Ram-Lak SDC,
+            readout index 0 zeroed (the gridder's |radius| < n edge mask
+            excludes it), 1/(nxos*npe) scale (src/tron.cu:532)."""
+            ang = spoke_angles(work, cfg.scheme_for("adjoint"), skip)
+            kx = (kr[None, :] * jnp.cos(ang)[:, None]).reshape(-1)
+            ky = (kr[None, :] * jnp.sin(ang)[:, None]).reshape(-1)
+            wd = win * sdc_weights(cfg, nro, work).astype(win.dtype)
+            wd = wd.at[..., 0].set(0)
+            img = dtft2_adjoint_chunked(
+                wd.reshape(nc_d, -1), kx, ky, n, nro
+            ) / (nro * work)
+            return jnp.sqrt(jnp.sum(jnp.abs(img) ** 2, axis=0))
+
+        oracle_fn = _oracle
+
     def scale_to(a, b):
         s = float(np.vdot(a, b).real / np.vdot(a, a).real)
         return s * a
@@ -85,30 +122,36 @@ def main():
         frame = np.abs(rec[0, 0, :, :, z])
         pe0 = z * slide
         win = ra_read_profiles(args.data, pe0, work)[:, 0].transpose(0, 2, 1)
+        win_d = to_device(np.ascontiguousarray(win))
         ref = np.abs(
-            to_host(ref_fn(to_device(np.ascontiguousarray(win)), cfg.skip_angles + pe0))
+            to_host(ref_fn(win_d, cfg.skip_angles + pe0))
         ).T  # .ra x/y slots are transposed vs the recon's (y, x)
-        rows.append(
-            {
-                "label": args.label or os.path.basename(args.img),
-                "frame": z,
-                "ssim_vs_xla": round(float(ssim(frame, ref)), 6),
-                "nmse_vs_xla": round(float(nmse(frame, ref)), 7),
-                "ssim_vs_truth": round(float(ssim(scale_to(frame, truth), truth)), 6),
-                "nmse_vs_truth": round(float(nmse(scale_to(frame, truth), truth)), 6),
-            }
-        )
+        row = {
+            "label": args.label or os.path.basename(args.img),
+            "frame": z,
+            "ssim_vs_xla": round(float(ssim(frame, ref)), 6),
+            "nmse_vs_xla": round(float(nmse(frame, ref)), 7),
+            "ssim_vs_truth": round(float(ssim(scale_to(frame, truth), truth)), 6),
+            "nmse_vs_truth": round(float(nmse(scale_to(frame, truth), truth)), 6),
+        }
+        if oracle_fn is not None:
+            orc = np.abs(to_host(oracle_fn(win_d, cfg.skip_angles + pe0))).T
+            row["oracle_nrmse"] = round(
+                float(np.linalg.norm(frame - orc) / np.linalg.norm(orc)), 7
+            )
+            row["oracle_ssim"] = round(float(ssim(frame, orc)), 6)
+        rows.append(row)
 
     write_header = not os.path.exists(args.csv)
     os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
     with open(args.csv, "a", newline="") as fh:
-        w = csv.DictWriter(
-            fh,
-            fieldnames=[
-                "label", "frame", "ssim_vs_xla", "nmse_vs_xla",
-                "ssim_vs_truth", "nmse_vs_truth",
-            ],
-        )
+        fields = [
+            "label", "frame", "ssim_vs_xla", "nmse_vs_xla",
+            "ssim_vs_truth", "nmse_vs_truth",
+        ]
+        if any("oracle_nrmse" in r for r in rows):
+            fields += ["oracle_nrmse", "oracle_ssim"]
+        w = csv.DictWriter(fh, fieldnames=fields, extrasaction="ignore")
         if write_header:
             w.writeheader()
         for r in rows:

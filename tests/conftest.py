@@ -20,8 +20,25 @@ if not _USE_TPU:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+else:
+    # keep the TPU platform as default but make the in-process CPU backend
+    # reachable too: the parity tests compute their XLA reference goldens
+    # under jax.default_device(cpu) — running the dense reference gridder on
+    # TPU cost up to 290 s per case
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        os.environ["JAX_PLATFORMS"] = plats + ",cpu"
 
 import jax  # noqa: E402
+
+if _USE_TPU:
+    # persistent compilation cache: makes the hardware suite affordable as a
+    # routine gate (bench.py already uses the same cache dir)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tron")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")

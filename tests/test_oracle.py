@@ -72,3 +72,32 @@ def test_phantom_basic():
     assert img.dtype == np.complex64
     assert abs(img[32, 32] - (1.0 - 0.8)) < 1e-6  # center: e1 + e2 only
     assert img[0, 0] == 0
+
+
+def test_phase_fp32_exact_at_large_k():
+    """_phase must stay phase-accurate at |k*p| ~ 3e4 (512-readout whole-body
+    geometry) where a naive fp32 k*p*2pi/nos loses ~2.4e-5 rad."""
+    from tron_tpu.oracle.dtft import _phase
+
+    n, nos = 256, 512
+    k = np.array([255.5, -255.5, 199.874, 83.0001], dtype=np.float32)
+    got = np.asarray(_phase(n, nos, jnp.asarray(k)))
+    p = (np.arange(n) - n // 2).astype(np.float64)
+    want = np.exp(-2j * np.pi * k.astype(np.float64)[:, None] * p[None, :] / nos)
+    assert np.abs(got - want).max() < 3e-6
+
+
+def test_chunked_adjoint_matches_unchunked(rng):
+    from tron_tpu.oracle import dtft2_adjoint_chunked
+
+    n, m, nos = 16, 101, 32  # m deliberately not a chunk multiple
+    y = (rng.standard_normal((3, m)) + 1j * rng.standard_normal((3, m))).astype(
+        np.complex64
+    )
+    kx = rng.uniform(-nos / 2, nos / 2, m).astype(np.float32)
+    ky = rng.uniform(-nos / 2, nos / 2, m).astype(np.float32)
+    want = np.asarray(dtft2_adjoint(jnp.asarray(y), kx, ky, n, nos))
+    got = np.asarray(
+        dtft2_adjoint_chunked(jnp.asarray(y), jnp.asarray(kx), jnp.asarray(ky), n, nos, chunk=16)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)

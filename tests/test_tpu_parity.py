@@ -38,6 +38,16 @@ def _nrmse(a, b):
     return float(np.linalg.norm(a - b) / np.linalg.norm(b))
 
 
+def _on_cpu(fn, *args):
+    """Run the XLA reference golden on the in-process CPU backend: the dense
+    reference gridder compiled/run on TPU cost up to 290 s per geometry, on
+    CPU it is seconds (conftest adds ',cpu' to JAX_PLATFORMS for this)."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(fn(*args))
+
+
 # 4 geometries: small, non-power-of-two grid, whole-body, and a
 # non-multiple-of-pe_chunk npe with skip
 @pytest.mark.parametrize(
@@ -62,8 +72,10 @@ def test_grid_pallas_vs_xla_on_tpu(rng, nxos, npe, skip):
     angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, skip))
     d = to_device(data)
     got = to_host(grid_radial2d_pallas(d, angles, nxos, KW, _beta()))
-    want = to_host(
-        jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(d, angles, nxos, KW, _beta())
+    want = _on_cpu(
+        lambda: jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(
+            data, np.asarray(angles), nxos, KW, _beta()
+        )
     )
     err = _nrmse(got, want)
     assert err < 1e-2, f"nxos={nxos} npe={npe}: {err:.2e}"
@@ -90,12 +102,14 @@ def test_grid_pallas_bf16x3_fp32_grade_on_tpu(rng):
     got = to_host(
         grid_radial2d_pallas(d, angles, nxos, KW, _beta(), matmul_dtype="bf16x3")
     )
-    with jax.default_matmul_precision("float32"):
-        want = to_host(
-            jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(
-                d, angles, nxos, KW, _beta()
+
+    def want_fn():
+        with jax.default_matmul_precision("float32"):
+            return jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(
+                data, np.asarray(angles), nxos, KW, _beta()
             )
-        )
+
+    want = _on_cpu(want_fn)
     err = _nrmse(got, want)
     assert err < 1e-4, f"bf16x3: {err:.2e}"
 
@@ -120,8 +134,9 @@ def test_degrid_pallas_full_columns_on_tpu(rng):
     imgd = to_device(img)
     cfg_p = ReconConfig(backend="pallas")
     cfg_j = ReconConfig(backend="jnp")
+    ang_np = np.asarray(angles)
     got = to_host(jax.jit(lambda x: nufft_forward(x, angles, cfg_p))(imgd))
-    want = to_host(jax.jit(lambda x: nufft_forward(x, angles, cfg_j))(imgd))
+    want = _on_cpu(lambda: jax.jit(lambda x: nufft_forward(x, ang_np, cfg_j))(img))
     err = _nrmse(got, want)
     assert err < 1e-2, f"{err:.2e}"
     # edge columns specifically (where clip vs wrap used to disagree)
@@ -148,9 +163,11 @@ def test_adjoint_pipeline_parity_on_tpu(rng):
     cfg_j = ReconConfig(backend="jnp", golden_angle=True)
     cfg_p = ReconConfig(backend="pallas", golden_angle=True)
     imgd = to_device(img)
+    ang_np = np.asarray(angles)
     data = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=2 * n))(imgd)
     got = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_p))(data))
-    want = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_j))(data))
+    data_np = np.asarray(to_host(data))
+    want = _on_cpu(lambda: jax.jit(lambda x: nufft_adjoint(x, ang_np, cfg_j))(data_np))
     err = _nrmse(got, want)
     assert err < 1e-2, f"{err:.2e}"
 
@@ -174,9 +191,11 @@ def test_cgnr_parity_on_tpu(rng):
     cfg_j = ReconConfig(backend="jnp", golden_angle=True, niter=6)
     cfg_p = ReconConfig(backend="pallas", golden_angle=True, niter=6)
     imgd = to_device(img)
+    ang_np = np.asarray(angles)
     data = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=2 * n))(imgd)
     got = to_host(jax.jit(lambda x: cgnr_radial2d(x, angles, cfg_p))(data))
-    want = to_host(jax.jit(lambda x: cgnr_radial2d(x, angles, cfg_j))(data))
+    data_np = np.asarray(to_host(data))
+    want = _on_cpu(lambda: jax.jit(lambda x: cgnr_radial2d(x, ang_np, cfg_j))(data_np))
     err = _nrmse(got, want)
     assert err < 2e-2, f"{err:.2e}"
 
@@ -202,10 +221,15 @@ def test_degrid_pallas_bf16x3_fp32_grade_on_tpu(rng):
     got = to_host(
         degrid_radial2d_pallas(G, angles, n, KW, _beta(), matmul_dtype="bf16x3")
     )
-    with jax.default_matmul_precision("float32"):
-        want = to_host(
-            jax.jit(lambda x: _degrid_dense(x, angles, n, KW, _beta(), wrap=False))(G)
-        )
+    ang_np = np.asarray(angles)
+
+    def want_fn():
+        with jax.default_matmul_precision("float32"):
+            return jax.jit(
+                lambda x: _degrid_dense(x, ang_np, n, KW, _beta(), wrap=False)
+            )(g)
+
+    want = _on_cpu(want_fn)
     # interior: the raw kernel clips while dense wraps only at the edges
     ro = np.arange(n)
     m = (np.abs(ro - n // 2) <= n // 2 - 4) & (ro != 0)
@@ -248,3 +272,48 @@ def test_recon_frames_planes_path_on_tpu(rng):
         err = _nrmse(got[z], want)
         # identical kernel and rounding; only op order differs
         assert err < 1e-5, f"frame {z}: planes vs complex path nrmse={err:.2e}"
+
+
+def test_adjoint_vs_exact_dtft_whole_body_geometry(rng):
+    """The independent accuracy anchor at REFERENCE frame geometry: one
+    whole-body frame (n=256, nro=512, npe=204 golden-angle spokes,
+    src/RUNME4_others_grid_slcmt.m:74-79) of phantom multicoil data,
+    Pallas recon scored against the exact chunked DTFT adjoint — the role
+    IRT plays in the reference's RUNME4 SSIM table (:283-312), previously
+    only exercised at n<=64 here."""
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import nufft_adjoint, nufft_forward, sdc_weights
+    from tron_tpu.oracle import dtft2_adjoint_chunked
+    from tron_tpu.phantom import birdcage_sensitivities, shepp_logan
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    n, nc, npe = 256, 2, 204
+    nro = 2 * n
+    img = (shepp_logan(n)[None] * birdcage_sensitivities(n, nc)).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, "golden", 0))
+    cfg_j = ReconConfig(backend="jnp", golden_angle=True)
+    imgd = to_device(img)
+    data = jax.jit(lambda x: nufft_forward(x, angles, cfg_j, nro=nro))(imgd)
+
+    cfg_a = ReconConfig(backend="pallas", golden_angle=True, matmul_dtype="bf16x3")
+    got = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_a))(data))
+
+    kr = (np.arange(nro) / nro - 0.5) * nro
+
+    @jax.jit
+    def oracle(d):
+        kx = (kr[None, :] * jnp.cos(angles)[:, None]).reshape(-1)
+        ky = (kr[None, :] * jnp.sin(angles)[:, None]).reshape(-1)
+        wd = d * sdc_weights(cfg_j, nro, npe).astype(d.dtype)
+        wd = wd.at[..., 0].set(0)
+        return dtft2_adjoint_chunked(wd.reshape(nc, -1), kx, ky, n, nro) / (nro * npe)
+
+    want = to_host(oracle(data))
+    err = _nrmse(got, want)
+    # bound = the KB kernel's (kw=2, osf=2) approximation error vs the exact
+    # transform on phantom data; bf16x3 rounding (~1e-6) is far below it
+    assert err < 5e-3, f"whole-body-geometry oracle nrmse: {err:.2e}"

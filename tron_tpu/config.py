@@ -34,6 +34,55 @@ PHI = math.pi / ((1.0 + math.sqrt(5.0)) / 2.0)
 
 
 @dataclasses.dataclass(frozen=True)
+class KernelTuning:
+    """Pallas kernel tuning knobs — the analog of the reference's -B/-T
+    launch geometry flags (`src/tron.cu:831-832, 864-865`), as first-class
+    config instead of env vars.  ``KernelTuning.from_env()`` applies TRON_*
+    environment overrides for experiments; the default path (ReconConfig
+    .tuning left at None resolves via from_env at trace time, so a clean
+    environment yields exactly these defaults)."""
+
+    # hit-loop unroll factor (1 = plain dynamic loop, 2 = paired body)
+    unroll: int = 1
+    # short-window row count (see ops.grid_pallas._pallas_win_impl)
+    ws: int = 48
+    # chunk-fusion factor: pe-chunks swept per grid step
+    kf: int = 1
+    # tile rows (tile_y) for the windowed kernels; None = square tiles
+    tile_y: int | None = None
+    # scoped-vmem cap override in bytes (0 = keep XLA's 16 MB default)
+    vmem_limit: int = 0
+    # operand-scratch budget that clamps pe_chunk (bytes)
+    vmem_budget: int = 12 * 1024 * 1024
+    # koosh (-3) slice batch; 0 = auto-derive from the vmem budget
+    koosh_batch: int = 0
+
+    @classmethod
+    def from_env(cls) -> "KernelTuning":
+        """Defaults + TRON_* environment overrides (experiment scaffolding).
+
+        Read at trace time, NOT import time — but note a change after a
+        function is jit-cached still has no effect on the cached program."""
+        import os
+
+        d = cls()
+
+        def gi(name, default):
+            return int(os.environ.get(name, default))
+
+        ty = gi("TRON_TY", 0)
+        return cls(
+            unroll=gi("TRON_UNROLL", d.unroll),
+            ws=gi("TRON_WS", d.ws),
+            kf=gi("TRON_KF", d.kf),
+            tile_y=ty or None,
+            vmem_limit=gi("TRON_VMEM_LIMIT", d.vmem_limit),
+            vmem_budget=gi("TRON_VMEM_BUDGET", d.vmem_budget),
+            koosh_batch=gi("TRON_KOOSH_BATCH", d.koosh_batch),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class ReconConfig:
     # Geometry / kernel (reference defaults at src/tron.cu:66-69)
     gridos: float = 2.0          # -o grid oversampling factor
@@ -65,10 +114,16 @@ class ReconConfig:
     backend: str = "auto"        # "auto" | "jnp" | "pallas"
     matmul_dtype: str = "bfloat16"   # gridding contraction input dtype:
                                      # "bfloat16" | "bf16x3" (~fp32) |
-                                     # "float32"; fp32 accumulation always
+                                     # "bf16x2" (A-split only, between the
+                                     # two) | "float32"; fp32 accum always
                                      # (XLA's own TPU einsum default is
                                      # also 1-pass bf16)
     pe_chunk: int = 8            # spokes processed per inner step in the jnp gridder
+    tuning: KernelTuning | None = None  # Pallas kernel tuning; None = defaults
+                                        # with TRON_* env overrides (from_env)
+
+    def kernel_tuning(self) -> KernelTuning:
+        return self.tuning if self.tuning is not None else KernelTuning.from_env()
 
     def scheme_for(self, direction: str) -> str:
         """Angle scheme for 'forward' or 'adjoint', honoring the override.

@@ -55,6 +55,13 @@ def _on_tpu() -> bool:
         return False
 
 
+# The MXU constant-DFT epilogue/prologue materializes an (n, nxos) matrix
+# and costs O(nxos^3) per image vs the FFT's O(nxos^2 log nxos): measured
+# faster than XLA's VPU FFT through nxos = 1024, past which the FFT chain
+# wins — so the swap is gated here.
+_MXU_DFT_MAX = 1024
+
+
 def _grid_backend(cfg: ReconConfig):
     if cfg.backend in ("pallas", "auto"):
         try:
@@ -62,7 +69,8 @@ def _grid_backend(cfg: ReconConfig):
                 from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
 
                 return functools.partial(
-                    grid_radial2d_pallas, matmul_dtype=cfg.matmul_dtype
+                    grid_radial2d_pallas, matmul_dtype=cfg.matmul_dtype,
+                    tuning=cfg.tuning,
                 )
         except Exception:
             if cfg.backend == "pallas":
@@ -98,7 +106,7 @@ def _adjoint_epilogue(kgrid, n, cfg, beta):
     kernel at these sizes; see ops.fftops.adjoint_image_mxu — exact to
     ~3e-7 and the literal adjoint of the forward prologue)."""
     nxos = kgrid.shape[-1]
-    if _on_tpu():
+    if _on_tpu() and nxos <= _MXU_DFT_MAX:
         return adjoint_image_mxu(kgrid, n, cfg.kernwidth, beta, cfg.deapodize)
     img = centered_ifft2_unnormalized(kgrid)
     img = crop_center(img, n)
@@ -133,7 +141,8 @@ def nufft_adjoint_planes(
     n = int(round(nxos / cfg.gridos))
     beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
     kgrid = grid_radial2d_pallas_planes(
-        planes, angles, nxos, cfg.kernwidth, beta, matmul_dtype=cfg.matmul_dtype
+        planes, angles, nxos, cfg.kernwidth, beta, matmul_dtype=cfg.matmul_dtype,
+        tuning=cfg.tuning,
     )
     return _adjoint_epilogue(kgrid, n, cfg, beta)
 
@@ -201,7 +210,7 @@ def nufft_forward(
         nro = nxos
     beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
 
-    if _on_tpu():
+    if _on_tpu() and nxos <= _MXU_DFT_MAX:
         # pad + deapod + centered FFT as two MXU matmuls (the conjugate
         # transpose of the adjoint epilogue; see _adjoint_epilogue)
         kgrid = forward_kspace_mxu(img, nxos, cfg.kernwidth, beta, cfg.deapodize)
@@ -219,14 +228,14 @@ def nufft_forward(
                 flat = kgrid.reshape((-1,) + kgrid.shape[-2:])
                 out = degrid_radial2d_pallas(
                     flat, angles, nro, cfg.kernwidth, beta,
-                    matmul_dtype=cfg.matmul_dtype,
+                    matmul_dtype=cfg.matmul_dtype, tuning=cfg.tuning,
                 )
                 if wrap:
                     out = _patch_degrid_wrap_edges(
                         out, flat, angles, nro, cfg.kernwidth, beta,
                         precision=(
                             "highest"
-                            if cfg.matmul_dtype in ("bf16x3", "float32")
+                            if cfg.matmul_dtype in ("bf16x3", "bf16x2", "float32")
                             else None
                         ),
                     )

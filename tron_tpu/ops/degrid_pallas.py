@@ -62,6 +62,7 @@ def _degrid_kernel(
     kb_coeffs,
     mm_dtype,
     passes: int = 1,
+    unroll: int = 1,
 ):
     k = pl.program_id(0)
     i = pl.program_id(1)
@@ -106,7 +107,11 @@ def _degrid_kernel(
             # V[r, (c, y)] = sum_x A[r, x] * G[(c, y), x]
             Ah = A.astype(mm_dtype)
             V = dot(Ah, G2)                                     # (WIN, C2*TY)
-            if passes != 1:
+            if passes == 2:
+                # bf16x2: grid lo term only (the grid split is per-tile,
+                # so this adds just one dot per hit)
+                V = V + dot(Ah, G2l)
+            elif passes == 3:
                 # compensated bf16x3: hi*lo cross terms recover ~fp32
                 Al = (A - Ah.astype(jnp.float32)).astype(mm_dtype)
                 V = V + dot(Ah, G2l) + dot(Al, G2)
@@ -132,7 +137,7 @@ def _degrid_kernel(
         site = (i * tiles + j) * 2 + sgn
         seg0 = seg_ref[site]
         cnt_l = cntl_ref[site * nch + k]
-        _hit_loop(make_spoke(site, seg, hll_ref, lambda p: seg0), cnt_l)
+        _hit_loop(make_spoke(site, seg, hll_ref, lambda p: seg0), cnt_l, unroll)
         cnt_s = cnts_ref[site * nch + k]
         _hit_loop(
             make_spoke(
@@ -140,6 +145,7 @@ def _degrid_kernel(
                 lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
             ),
             cnt_s,
+            unroll,
         )
 
     @pl.when((i == pl.num_programs(1) - 1) & (j == pl.num_programs(2) - 1))
@@ -151,12 +157,12 @@ def _degrid_kernel(
     jax.jit,
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
-        "cull",
+        "cull", "ws", "unroll", "vmem_limit",
     ),
 )
 def _degrid_pallas_impl(
     kgrid, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
-    cull="geom",
+    cull="geom", ws=48, unroll=1, vmem_limit=0,
 ):
     C, n_y, n_x = kgrid.shape
     c2 = 2 * C
@@ -165,7 +171,7 @@ def _degrid_pallas_impl(
     tiles = nxos // tile
     starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
 
-    passes = 3 if matmul_dtype == "bf16x3" else 1
+    passes = {"bf16x3": 3, "bf16x2": 2}.get(matmul_dtype, 1)
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
 
     # sort spokes by angle (shared culling machinery); the "samples" fed to
@@ -181,7 +187,6 @@ def _degrid_pallas_impl(
         angles_s = jnp.pad(angles_s, (0, pad), mode="edge")
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
-    from tron_tpu.ops.grid_pallas import _WS as ws
     cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
         angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe
     )
@@ -205,6 +210,7 @@ def _degrid_pallas_impl(
         kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
         mm_dtype=mm_dtype,
         passes=passes,
+        unroll=unroll,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -226,7 +232,7 @@ def _degrid_pallas_impl(
         out_shape=jax.ShapeDtypeStruct((nch * pe_chunk, nro, c2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            **_vmem_limit_kw(),
+            **_vmem_limit_kw(vmem_limit),
         ),
         interpret=interpret,
     )(
@@ -252,11 +258,13 @@ def degrid_radial2d_pallas(
     tile: int = 128,
     matmul_dtype: str = "bfloat16",
     interpret: bool = False,
+    tuning=None,
 ) -> jnp.ndarray:
     """kgrid (C, n, n) or (n, n) complex -> samples (C, npe, nro).
 
     Falls back to the dense XLA backend when the geometry doesn't fit the
-    kernel (nro != nxos, or grid too small to tile).
+    kernel (nro != nxos, or grid too small to tile).  ``tuning`` is a
+    config.KernelTuning (None = defaults + TRON_* env overrides).
     """
     squeeze = kgrid.ndim == 2
     if squeeze:
@@ -267,8 +275,11 @@ def degrid_radial2d_pallas(
 
         out = _degrid_dense(kgrid, angles, nro, kernwidth, beta)
     else:
+        from tron_tpu.ops.grid_pallas import _default_tuning
+
+        t = tuning if tuning is not None else _default_tuning()
         out = _degrid_pallas_impl(
             kgrid, angles, n, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret,
+            interpret, ws=t.ws, unroll=t.unroll, vmem_limit=t.vmem_limit,
         )
     return out[0] if squeeze else out

@@ -119,7 +119,17 @@ def _centered_dft_mat(n: int, nxos: int, kernwidth: float, beta: float, deapod: 
         f = np.where(az > 1e-12, f, 1.0)
         # match the float32 evaluation of deapodize()/kb_hat bit-closely
         f = f.astype(np.float32).astype(np.float64)
-        g = np.where(f > 0, 1.0 / np.where(f > 0, f, 1.0), 1.0)
+        # deapodize() applies its pass-through on the separable PRODUCT
+        # f[y]*f[x] <= 0, while this fold is per-axis — the two agree only
+        # while f stays positive over the crop (true for the default and
+        # Beatty betas at gridos=2).  Fail loudly if a future (kernwidth,
+        # beta) combo ever drives kb_hat nonpositive inside the crop.
+        assert (f > 0).all(), (
+            "kb_hat nonpositive inside the center crop: the separable MXU "
+            "deapod fold would diverge from deapodize(); use the FFT path "
+            f"for kernwidth={kernwidth}, beta={beta}"
+        )
+        g = 1.0 / f
         M = g[:, None] * M
     # cache NUMPY (converting to a jax array here would capture a tracer
     # when the first call happens under jit tracing); callers jnp.asarray

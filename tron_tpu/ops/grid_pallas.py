@@ -32,7 +32,9 @@ below handles geometries too small to tile):
 Complex data is carried as C2 = 2*nchan real planes (complex is not a native
 TPU tile type).  ``matmul_dtype``: "bfloat16" (fast 1-pass; same precision
 class as XLA's own TPU einsum default), "bf16x3" (compensated 3-pass,
-~fp32), "float32" (emulated on the MXU — slow, for debugging).
+~fp32), "bf16x2" (2-pass: only the A operand is split — cheaper, accuracy
+between bf16 and bf16x3; see NOTES.md for the measured tradeoff),
+"float32" (emulated on the MXU — slow, for debugging).
 """
 
 from __future__ import annotations
@@ -47,41 +49,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tron_tpu.ops.grid import _radius_map
 
-# Tuning knobs, read ONCE at import (they select trace-time constants, so a
-# mid-process change would be silently ignored by the jit cache anyway):
-# TRON_UNROLL — hit-loop unroll factor (1 = plain dynamic loop; 2 = manual
-# paired body: floor(cnt/2) double-iterations + a conditional tail).
-# TRON_WS — short-window row count (see _pallas_win_impl).
-# TRON_KF — chunk-fusion factor: pe-chunks processed per grid step.
-# Default 1: fusing chunks measured NEUTRAL on the whole-body geometry
-# (per-step cost is not the bottleneck) and kf>1 makes XLA demand ~41 MB
-# of scoped vmem for UNBATCHED calls (vmapped calls are unaffected).
-_UNROLL = int(_os.environ.get("TRON_UNROLL", "1"))
-_WS = int(_os.environ.get("TRON_WS", "48"))
-_KF = int(_os.environ.get("TRON_KF", "1"))
+# Production tuning lives in config.KernelTuning (threaded through the
+# public entry points; ReconConfig.tuning); the TRON_* env vars remain as
+# experiment-time overrides via KernelTuning.from_env().  The remaining
+# direct env reads below are debug-only instrumentation:
 # TRON_BISECT — debug-only cost attribution (produces WRONG results):
 # "u1" writes a single channel slice in the U expansion; "nopoly" replaces
-# the KB polynomial with its argument.
+# the KB polynomial with its argument.  Read at import/trace time only — a
+# mid-process change is ignored by already-compiled functions.
+# TRON_CULL / TRON_RESIDENT — dataflow experiments (see _pallas_win_impl).
 _BISECT = _os.environ.get("TRON_BISECT", "")
-# TRON_TY — default tile rows (tile_y) for the windowed kernels; 0 = square.
-_TY = int(_os.environ.get("TRON_TY", "0")) or None
+if _BISECT:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"TRON_BISECT={_BISECT!r} is set: the gridding kernels will produce "
+        "deliberately WRONG results (debug cost-attribution mode)",
+        stacklevel=1,
+    )
 
 
-def _vmem_limit_kw():
+def _default_tuning():
+    from tron_tpu.config import KernelTuning
+
+    return KernelTuning.from_env()
+
+
+def _vmem_limit_kw(vmem_limit: int = 0):
     """compiler_params kwarg raising the scoped-vmem cap (a 16 MB XLA flag
     default, not hardware — v5e has 128 MB of VMEM).  Default: keep XLA's
     16 MB — measured FASTEST (at a 100 MB cap XLA parks large buffers in
     VMEM and the whole-body frame slows 2.20 -> 2.81 ms; 32 MB was still
-    fine).  TRON_VMEM_LIMIT=<bytes> opts into a higher cap for configs
-    whose scratch demand exceeds the default (e.g. unbatched 512-grid
-    calls, which demand ~41 MB)."""
-    lim = int(_os.environ.get("TRON_VMEM_LIMIT", "0"))
-    return {"vmem_limit_bytes": lim} if lim else {}
+    fine).  KernelTuning.vmem_limit (env TRON_VMEM_LIMIT) opts into a
+    higher cap for configs whose scratch demand exceeds the default (e.g.
+    unbatched 512-grid calls, which demand ~41 MB)."""
+    return {"vmem_limit_bytes": vmem_limit} if vmem_limit else {}
 
 
-def _hit_loop(body, cnt):
+def _hit_loop(body, cnt, unroll: int = 1):
     """Dynamic-bound hit loop, optionally manually 2-unrolled."""
-    if _UNROLL < 2:
+    if unroll < 2:
         jax.lax.fori_loop(0, cnt, body, 0)
         return
 
@@ -497,6 +504,7 @@ def grid_radial2d_pallas(
     interpret: bool = False,
     windowed: bool = True,
     tile_y: int | None = None,
+    tuning=None,
 ) -> jnp.ndarray:
     """Adjoint gridding, Pallas TPU backend (complex in/out).
 
@@ -504,22 +512,25 @@ def grid_radial2d_pallas(
     Returns (C, nxos, nxos) complex64.  Dispatches to the windowed
     segmented/culled kernel when the geometry allows tiling (``windowed``
     selects the short-chord operand class), else the dense-range kernel.
-    ``tile_y`` (rows per tile; default TRON_TY or square) trades tile count
-    against operand width — see _pallas_win_impl.
+    ``tile_y`` (rows per tile; default tuning.tile_y or square) trades tile
+    count against operand width — see _pallas_win_impl.  ``tuning`` is a
+    config.KernelTuning (None = defaults + TRON_* env overrides).
     """
     if data.ndim == 2:
         return grid_radial2d_pallas(
             data[None], angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret, windowed, tile_y,
+            interpret, windowed, tile_y, tuning,
         )[0]
+    t = tuning if tuning is not None else _default_tuning()
     if tile_y is None:
-        tile_y = _TY
+        tile_y = t.tile_y
     if not (tile_y and nxos % tile_y == 0 and nxos // tile_y >= 1):
         tile_y = None  # square fallback
     if windowed and nxos % tile == 0 and (nxos // tile >= 2 or tile_y):
         return _pallas_win_impl(
             data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret, tile_y=tile_y,
+            interpret, ws=t.ws, tile_y=tile_y, kf=t.kf, unroll=t.unroll,
+            vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
         )
     if nxos % tile == 0 and nxos // tile >= 2:
         return _pallas_seg_impl(
@@ -563,16 +574,19 @@ def grid_radial2d_pallas_planes(
     tile: int = 128,
     matmul_dtype: str = "bfloat16",
     interpret: bool = False,
+    tuning=None,
 ) -> jnp.ndarray:
     """Adjoint gridding from pre-transformed sample planes (npe, nR, 2C)
     f32 (see to_sample_planes).  Returns (C, nxos, nxos) complex64.
     Requires a tileable geometry (the planes fast path exists for the
     whole-body-class shapes; other geometries use grid_radial2d_pallas)."""
     assert nxos % tile == 0 and nxos // tile >= 2, (nxos, tile)
+    t = tuning if tuning is not None else _default_tuning()
+    ty = t.tile_y if t.tile_y and nxos % t.tile_y == 0 else None
     return _pallas_win_impl(
         planes, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-        interpret, tile_y=_TY if _TY and nxos % _TY == 0 else None,
-        planes=True,
+        interpret, ws=t.ws, tile_y=ty, planes=True, kf=t.kf, unroll=t.unroll,
+        vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
     )
 
 
@@ -636,8 +650,9 @@ def _pallas_seg_impl(
 
     s2, angles_s, nch, _, _ = _prep_samples(data, nxos, pe_chunk, angles, "prc")
     # "bfloat16": fast 1-pass; "bf16x3": compensated 3-pass (~fp32 grade);
-    # "float32": direct (slow on TPU MXUs — fp32 matmul is emulated)
-    passes = 3 if matmul_dtype == "bf16x3" else 1
+    # "float32": direct (slow on TPU MXUs — fp32 matmul is emulated).
+    # "bf16x2" is a windowed-kernel experiment; here it upgrades to x3.
+    passes = 3 if matmul_dtype in ("bf16x3", "bf16x2") else 1
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
     s2 = s2.astype(jnp.float32)
     ct = jnp.cos(angles_s).astype(jnp.float32)
@@ -813,10 +828,16 @@ def _win_kernel(
     kf: int = 1,
     passes: int = 1,
     resident: bool = False,
+    unroll: int = 1,
 ):
     if passes == 1:
         al_ref, ul_ref, as_ref, us_ref, hw_ref = scratch
         al2_ref = ul2_ref = as2_ref = us2_ref = None
+    elif passes == 2:
+        # bf16x2: only the A operand is split (cheap tx-wide lo scratches);
+        # U stays single-store — see _pallas_win_impl
+        al_ref, ul_ref, as_ref, us_ref, al2_ref, as2_ref, hw_ref = scratch
+        ul2_ref = us2_ref = None
     else:
         (al_ref, ul_ref, as_ref, us_ref,
          al2_ref, ul2_ref, as2_ref, us2_ref, hw_ref) = scratch
@@ -836,7 +857,7 @@ def _win_kernel(
         # finite (not NaN garbage) for 0*x == 0 to hold
         ul_ref[...] = jnp.zeros_like(ul_ref)
         us_ref[...] = jnp.zeros_like(us_ref)
-        if passes != 1:
+        if ul2_ref is not None:
             ul2_ref[...] = jnp.zeros_like(ul2_ref)
             us2_ref[...] = jnp.zeros_like(us2_ref)
         # high-water marks of nonzero A rows per class (long, short): the
@@ -929,14 +950,15 @@ def _win_kernel(
                 # buffer; 40 MB at ty=128) — keep statement-land pl.when.
                 @pl.when(cnt > 0)
                 def _active():
-                    _hit_loop(evf, cnt)
+                    _hit_loop(evf, cnt, unroll)
                     jax.lax.fori_loop(cnt, jnp.maximum(hw_ref[hw_slot], cnt), ztf, 0)
                     hw_ref[hw_slot] = cnt
                     r = dot(u_scr[...], a_scr[...])
-                    if passes != 1:
+                    if u2_scr is not None:
                         # compensated bf16x3: hi*lo cross terms recover
                         # ~fp32 (the lo*lo term is below fp32 noise)
                         r = r + dot(u2_scr[...], a_scr[...])
+                    if a2_scr is not None:
                         r = r + dot(u_scr[...], a2_scr[...])
                     acc_ref[...] += r
 
@@ -1054,26 +1076,25 @@ def _pack_hits(mask, t2, nch, pe_chunk):
     jax.jit,
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
-        "ws", "tile_y", "planes",
+        "ws", "tile_y", "planes", "kf", "unroll", "vmem_limit", "vmem_budget",
     ),
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
-    ws=None, tile_y=None, planes=False,
+    ws=48, tile_y=None, planes=False, kf=1, unroll=1, vmem_limit=0,
+    vmem_budget=12 * 1024 * 1024,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
     row count) defaults to 48 — measured best on the whole-body geometry
     (2.89 ms/frame vs 2.98 at 64 and 2.93 at 32): covers chords <= 44
     (~60% of hits) at a quarter of the full-segment operand cost.
-    Override with TRON_WS (read at import).
+    Tuning knobs arrive from config.KernelTuning (TRON_* env overrides).
 
     Tiles are tile_y x tile (rows x lanes).  Shrinking tile_y shrinks the
     channel-expanded U operand (c2*tile_y lanes) — the measured store
     hotspot — while the lane-dim tile stays at the 128 the hardware wants.
     """
-    if ws is None:
-        ws = _WS
     if tile_y is None:
         tile_y = tile
     if planes:
@@ -1085,22 +1106,26 @@ def _pallas_win_impl(
     tiles_y, tiles_x = nxos // tile_y, nxos // tile
     starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth, tile_y=tile_y)
 
-    passes = 3 if matmul_dtype == "bf16x3" else 1
+    passes = {"bf16x3": 3, "bf16x2": 2}.get(matmul_dtype, 1)
     itemsize = 4 if matmul_dtype == "float32" else 2
-    nscr = 2 if passes != 1 else 1  # hi (+ lo) operand scratch pairs
-    budget = int(_os.environ.get("TRON_VMEM_BUDGET", 12 * 1024 * 1024))
-    while (
-        pe_chunk > 4
-        and nscr * pe_chunk * (seg + ws) * (c2 * tile_y + tile) * itemsize > budget
-    ):
+    # operand scratch bytes per pe slot: hi (U + A), + lo A (bf16x2), or
+    # + lo (U + A) (bf16x3)
+    opw = (c2 * tile_y + tile) * (2 if passes == 3 else 1) + (
+        tile if passes == 2 else 0
+    )
+    budget = vmem_budget
+    while pe_chunk > 4 and pe_chunk * (seg + ws) * opw * itemsize > budget:
         pe_chunk //= 2
 
     # chunk-fusion factor: each grid step sweeps kf pe-chunks through an
     # in-kernel loop, cutting the step count tiles^2*nch -> tiles^2*nch/kf
     # (the measured per-step cost is ~3 us; at 416 steps that was ~44% of
-    # the whole-body frame).  Clamp so the fused sample block (double-
-    # buffered by the pipeline) stays modest.
-    kf = max(1, _KF)
+    # the whole-body frame).  Default 1: fusing chunks measured NEUTRAL on
+    # the whole-body geometry (per-step cost is not the bottleneck) and
+    # kf>1 makes XLA demand ~41 MB of scoped vmem for UNBATCHED calls
+    # (vmapped calls are unaffected).  Clamp so the fused sample block
+    # (double-buffered by the pipeline) stays modest.
+    kf = max(1, kf)
     while kf > 1 and 2 * kf * pe_chunk * nxos * c2 * 4 > 4 * 1024 * 1024:
         kf //= 2
 
@@ -1163,6 +1188,7 @@ def _pallas_win_impl(
         kf=kf,
         passes=passes,
         resident=resident,
+        unroll=unroll,
     )
 
     operand_scratch = [
@@ -1171,6 +1197,15 @@ def _pallas_win_impl(
         pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
         pltpu.VMEM((pe_chunk * ws, c2 * tile_y), mm_dtype),
     ]
+    if passes == 1:
+        lo_scratch = []
+    elif passes == 2:  # bf16x2: lo halves of the A operands only
+        lo_scratch = [
+            pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
+            pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
+        ]
+    else:              # bf16x3: lo halves of all four operands
+        lo_scratch = list(operand_scratch)
     s_spec = (
         pl.BlockSpec((nch * pe_chunk, nxos, c2), lambda i, j, k, *_: (0, 0, 0))
         if resident
@@ -1184,7 +1219,8 @@ def _pallas_win_impl(
             (c2, tile_y, tile), lambda i, j, k, *_: (0, i, j)
         ),
         scratch_shapes=[pltpu.VMEM((c2 * tile_y, tile), jnp.float32)]
-        + operand_scratch * nscr
+        + operand_scratch
+        + lo_scratch
         + [pltpu.SMEM((2,), jnp.int32)],
     )
     out = pl.pallas_call(
@@ -1193,7 +1229,7 @@ def _pallas_win_impl(
         out_shape=jax.ShapeDtypeStruct((c2, nxos, nxos), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            **_vmem_limit_kw(),
+            **_vmem_limit_kw(vmem_limit),
         ),
         interpret=interpret,
     )(

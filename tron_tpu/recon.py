@@ -203,20 +203,34 @@ def recon_radial2d_streaming(
     work, slide, nz = cfg.frame_geometry(nro, npe1)
 
     bf = min(batch_frames, nz)
-    outs = [None] * nz
-    for z0 in range(0, nz, bf):
-        z0 = min(z0, nz - bf)  # tail block realigned (same compiled shape)
+    # tail block realigned to nz - bf (same compiled shape as every block)
+    z0s = [min(z0, nz - bf) for z0 in range(0, nz, bf)]
+
+    def load(z0):
+        """Disk window -> device upload for one block (runs on the prefetch
+        thread: the next block's read + host->device transfer overlaps the
+        current block's compute — the reference's NSTREAMS=2 async H2D
+        overlap, `src/tron.cu:734-781`, in its TPU form)."""
         pe0 = z0 * slide
         blk = ra_read_profiles(path, pe0, work + (bf - 1) * slide)
         # (nc, nt, nro, npe) -> (nc, npe, nro)
         d = np.ascontiguousarray(blk[:, 0].transpose(0, 2, 1))
         if not np.iscomplexobj(d):
             d = d.astype(np.complex64)
-        out = to_host(
-            recon_frames(to_device(d), cfg, work, slide, bf, jnp.int32(pe0))
-        )
-        for i in range(bf):
-            outs[z0 + i] = out[i]
+        return to_device(d), pe0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    outs = [None] * nz
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(load, z0s[0])
+        for bi, z0 in enumerate(z0s):
+            d, pe0 = fut.result()
+            if bi + 1 < len(z0s):
+                fut = ex.submit(load, z0s[bi + 1])
+            out = to_host(recon_frames(d, cfg, work, slide, bf, jnp.int32(pe0)))
+            for i in range(bf):
+                outs[z0 + i] = out[i]
     return np.stack(outs)[:, None]
 
 
@@ -276,13 +290,20 @@ def _koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc):
             lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
         )                                  # (nt, nzi, n, n)
 
-    # slice batch of 2: vmapping the Pallas gridder stacks each batch
-    # element's output block on the scoped-vmem stack (16 MB default
-    # limit), so a batch of 4 at 256^2 x 12 planes already overflows it.
-    # TRON_KOOSH_BATCH raises it (pair with TRON_VMEM_LIMIT).
-    import os as _os
-
-    bs = int(_os.environ.get("TRON_KOOSH_BATCH", "2"))
+    # Slice batch: vmapping the Pallas gridder stacks each batch element's
+    # (c2, nxos, nxos) f32 output block on the scoped-vmem stack (16 MB XLA
+    # default), so the batch is derived from that budget — koosh_batch=0
+    # (the default) auto-sizes to half the cap, which reproduces the
+    # measured-safe batch of 2 at 256^2 x 12 planes and scales up when
+    # tuning.vmem_limit raises the cap.  Set tuning.koosh_batch (env
+    # TRON_KOOSH_BATCH) to override.
+    t = cfg2.kernel_tuning()
+    bs = t.koosh_batch
+    if bs <= 0:
+        nxos = int((nro // 2) * cfg2.gridos)
+        per_slice_bytes = 2 * nc * nxos * nxos * 4
+        cap = t.vmem_limit or 16 * 1024 * 1024
+        bs = max(1, cap // (2 * per_slice_bytes))
     out = jax.lax.map(per_slice, sl, batch_size=min(npe2, bs))
     # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
     return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])

@@ -45,7 +45,7 @@ if [ "${TRON_FULLSCALE:-1}" != "0" ]; then
       output/ex_whole_body.ra output/img_cmt_tron.ra
   done
   python scripts/dataset_metrics.py output/img_cmt_tron.ra --data output/ex_whole_body.ra \
-    --nc 6 -G -u 0.4 -d 21 --frames 0,400,-1 --label whole_body
+    --nc 6 -G -u 0.4 -d 21 --frames 0,400,-1 --label whole_body --oracle
 fi
 
 # 4) optic-nerve-class series (reference: tron -u 0.5 -a -G, RUNME3:16-18;

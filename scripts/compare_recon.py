@@ -100,7 +100,7 @@ def main():
     from tron_tpu.config import AngleScheme, ReconConfig
     from tron_tpu.metrics import nmse, nrmse, ssim
     from tron_tpu.nufft import nufft_adjoint, nufft_forward, sdc_weights
-    from tron_tpu.oracle import dtft2_adjoint
+    from tron_tpu.oracle import dtft2_adjoint_chunked
     from tron_tpu.phantom import shepp_logan
     from tron_tpu.trajectory import spoke_angles
     from tron_tpu.utils.xfer import to_device, to_host
@@ -163,7 +163,9 @@ def main():
         wd[:, 0] = 0
         t0 = time.perf_counter()
         r = to_host(
-            dtft2_adjoint(to_device(wd.ravel()), jnp.asarray(kx), jnp.asarray(ky), n, nro)
+            jax.jit(dtft2_adjoint_chunked, static_argnums=(3, 4))(
+                to_device(wd.reshape(-1)), jnp.asarray(kx), jnp.asarray(ky), n, nro
+            )
         ) / (nro * npe)
         times["oracle"] = time.perf_counter() - t0
         recons["oracle"] = r

@@ -189,3 +189,23 @@ def test_recon_frames_planes_path_equivalence(rng):
     )
     err = nrmse(kgrid_planes, kgrid_ref)
     assert err < 1e-5, f"planes window vs reference gridder nrmse={err:.2e}"
+
+
+def test_bf16x2_accuracy(rng):
+    """2-pass bf16x2 (A-operand split only): accuracy must land between
+    1-pass bf16 and 3-pass bf16x3 (it removes the A-rounding cross term but
+    keeps the U rounding — measured ~1.7e-3 vs bf16's ~2.3e-3 on random
+    data; kept as an experiment, NOT the --precision accurate mode)."""
+    nxos = nro = 256
+    data, angles = _case(rng, 2, 16, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    err3 = nrmse(
+        _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bf16x3"), want
+    )
+    err2 = nrmse(
+        _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bf16x2"), want
+    )
+    err1 = nrmse(
+        _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bfloat16"), want
+    )
+    assert err3 < err2 < err1, (err3, err2, err1)

@@ -215,31 +215,40 @@ def main():
     _attempt("accuracy", accuracy, RESULT)
 
     # --- bf16x3 (--precision accurate) throughput --------------------------
-    def accurate_throughput():
-        nz_a = 64
-        npe1 = work + (nz_a - 1) * slide
-        data = (
-            rng.standard_normal((nc, npe1, nro))
-            + 1j * rng.standard_normal((nc, npe1, nro))
-        ).astype(np.complex64)
-        da = to_device(data)
+    # Same frame count and methodology as the headline so the two fields are
+    # directly comparable (the old 64-frame version paid the ~30 ms fixed
+    # tunnel-readback per rep = +0.5 ms/frame, understating the rate ~12%).
+    def make_accurate(nz_a):
+        def accurate_throughput():
+            npe1 = work + (nz_a - 1) * slide
+            data = (
+                rng.standard_normal((nc, npe1, nro))
+                + 1j * rng.standard_normal((nc, npe1, nro))
+            ).astype(np.complex64)
+            da = to_device(data)
 
-        def run_acc(x):
-            out = recon_frames(x, cfg_a, work, slide, nz_a)
-            return float(jnp.sum(jnp.abs(out)))
+            def run_acc(x):
+                out = recon_frames(x, cfg_a, work, slide, nz_a)
+                return float(jnp.sum(jnp.abs(out)))
 
-        run_acc(da)
-        run_acc(da * 1.0001)
-        reps = 3
-        t0 = time.perf_counter()
-        for i in range(reps):
-            run_acc(da * (1.0 + 0.0001 * i))
-        dt_a = (time.perf_counter() - t0) / reps
-        RESULT["accurate_msamples_per_s"] = round(
-            nz_a * nc * nro * work / dt_a / 1e6, 2
+            run_acc(da)
+            run_acc(da * 1.0001)
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                run_acc(da * (1.0 + 0.0001 * i))
+            dt_a = (time.perf_counter() - t0) / reps
+            RESULT["accurate_msamples_per_s"] = round(
+                nz_a * nc * nro * work / dt_a / 1e6, 2
+            )
+            RESULT["accurate_frames"] = nz_a
+
+        return accurate_throughput
+
+    if not _attempt("accurate_throughput", make_accurate(NFRAMES), RESULT):
+        _attempt(
+            "accurate_throughput_fallback64", make_accurate(64), RESULT, retries=2
         )
-
-    _attempt("accurate_throughput", accurate_throughput, RESULT)
 
     # --- koosh (-3) stack-of-stars -----------------------------------------
     # Device rate: the jitted koosh pipeline (kz IFFT + slice-batched 2D

@@ -85,6 +85,13 @@ def _degrid_kernel(
     G2 = Gf.astype(mm_dtype)
     if passes != 1:
         G2l = (Gf - G2.astype(jnp.float32)).astype(mm_dtype)
+        # K-widened constant operand, built ONCE per grid step: the hi/lo
+        # correction dots below run fused as a single wider contraction per
+        # hit instead of 2-3 separate MXU dot issues (dots here are per-HIT,
+        # so the issue overhead is the dominant x3 cost in this kernel)
+        Gc = jnp.concatenate(
+            [G2, G2l] if passes == 2 else [G2, G2l, G2], axis=1
+        )
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -106,15 +113,17 @@ def _degrid_kernel(
             B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)   # (WIN, TY)
             # V[r, (c, y)] = sum_x A[r, x] * G[(c, y), x]
             Ah = A.astype(mm_dtype)
-            V = dot(Ah, G2)                                     # (WIN, C2*TY)
-            if passes == 2:
-                # bf16x2: grid lo term only (the grid split is per-tile,
-                # so this adds just one dot per hit)
-                V = V + dot(Ah, G2l)
-            elif passes == 3:
-                # compensated bf16x3: hi*lo cross terms recover ~fp32
+            if passes == 1:
+                V = dot(Ah, G2)                                 # (WIN, C2*TY)
+            elif passes == 2:
+                # bf16x2, fused: [Ah | Ah] . [G2 | G2l] = Ah.G2 + Ah.G2l
+                # (grid lo term only; the grid split is per-tile)
+                V = dot(jnp.concatenate([Ah, Ah], axis=1), Gc)
+            else:
+                # compensated bf16x3, fused: [Ah | Ah | Al] . [G2 | G2l | G2]
+                # = Ah.G2 + Ah.G2l + Al.G2 — one dot issue recovers ~fp32
                 Al = (A - Ah.astype(jnp.float32)).astype(mm_dtype)
-                V = V + dot(Ah, G2l) + dot(Al, G2)
+                V = dot(jnp.concatenate([Ah, Ah, Al], axis=1), Gc)
             # per-channel 2D lane-slice reductions: reshaping V to
             # (win, c2, ty) relayouts `win` onto sublanes (transpose-shaped,
             # slow on Mosaic) — same fix as grid_pallas._expand_u

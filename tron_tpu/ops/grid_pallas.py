@@ -103,7 +103,7 @@ def _hit_loop(body, cnt, unroll: int = 1):
     def _tail():
         body(cnt - 1, 0)
 
-def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None):
+def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None, hi0=0, lo0=0):
     """Write U[(p*win..), (c,y)] = sp[., c] * B[., y] into the operand
     scratch as c2 clean 2D (rows, ty) stores at static lane offsets.
 
@@ -114,7 +114,10 @@ def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None):
     the whole-body geometry when this landed).
 
     With ``lo_scr`` (compensated bf16x3 mode), the fp32 product is split
-    into hi + lo bfloat16 halves written to the two scratches."""
+    into hi + lo bfloat16 halves written to the two scratches.  ``hi0`` /
+    ``lo0`` are row offsets: the fused-x3 layout stores both halves in ONE
+    doubled-row scratch (lo_scr is u_scr) as [U_lo; U_hi] so the two
+    cross-term contractions run as a single K-doubled MXU dot."""
     if _BISECT == "u1":
         c2 = 1
     for c in range(c2):
@@ -123,19 +126,20 @@ def _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, lo_scr=None):
         else:
             u = sp[:, c : c + 1] * B
         uh = u.astype(mm_dtype)
-        u_scr[pl.ds(p * win, win), pl.ds(c * ty, ty)] = uh
+        u_scr[pl.ds(hi0 + p * win, win), pl.ds(c * ty, ty)] = uh
         if lo_scr is not None:
-            lo_scr[pl.ds(p * win, win), pl.ds(c * ty, ty)] = (
+            lo_scr[pl.ds(lo0 + p * win, win), pl.ds(c * ty, ty)] = (
                 u - uh.astype(jnp.float32)
             ).astype(mm_dtype)
 
 
-def _store_a(a_scr, p, win, A, mm_dtype, lo_scr=None):
-    """Store the A operand rows (hi half + optional bf16x3 lo half)."""
+def _store_a(a_scr, p, win, A, mm_dtype, lo_scr=None, hi0=0, lo0=0):
+    """Store the A operand rows (hi half + optional bf16x3 lo half); the
+    fused-x3 layout (lo_scr is a_scr) packs them as [A_hi; A_lo]."""
     ah = A.astype(mm_dtype)
-    a_scr[pl.ds(p * win, win), :] = ah
+    a_scr[pl.ds(hi0 + p * win, win), :] = ah
     if lo_scr is not None:
-        lo_scr[pl.ds(p * win, win), :] = (A - ah.astype(jnp.float32)).astype(
+        lo_scr[pl.ds(lo0 + p * win, win), :] = (A - ah.astype(jnp.float32)).astype(
             mm_dtype
         )
 
@@ -829,8 +833,13 @@ def _win_kernel(
     passes: int = 1,
     resident: bool = False,
     unroll: int = 1,
+    fuse3: bool = True,
 ):
-    if passes == 1:
+    if passes == 1 or (passes == 3 and fuse3):
+        # fused bf16x3 packs hi + lo into doubled-row combined scratches
+        # (A = [A_hi; A_lo], U = [U_lo; U_hi]) so the two cross terms run as
+        # ONE K-doubled dot — same MACs and stores, one fewer MXU dot issue
+        # per (site, chunk, class)
         al_ref, ul_ref, as_ref, us_ref, hw_ref = scratch
         al2_ref = ul2_ref = as2_ref = us2_ref = None
     elif passes == 2:
@@ -841,6 +850,7 @@ def _win_kernel(
     else:
         (al_ref, ul_ref, as_ref, us_ref,
          al2_ref, ul2_ref, as2_ref, us2_ref, hw_ref) = scratch
+    fused = passes == 3 and fuse3
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)   # chunk-GROUP index: chunks [k*kf, (k+1)*kf)
@@ -894,6 +904,8 @@ def _win_kernel(
         slot0 = kq * pe_chunk if resident else q * pe_chunk
 
         def make_eval(site, win, a_scr, u_scr, hl, w0_for, a2_scr, u2_scr):
+            off = pe_chunk * win  # fused-x3 half-height (hi/lo row regions)
+
             def eval_hit(p, _):
                 slot = hl[(site * nch + kq) * pe_chunk + p]
                 w0 = w0_for(p, site)
@@ -905,12 +917,22 @@ def _win_kernel(
                 A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
                 B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
                 sp = s_ref[slot0 + slot, pl.ds(w0, win), :]
-                _store_a(a_scr, p, win, A, mm_dtype, a2_scr)
-                _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, u2_scr)
+                if fused:
+                    _store_a(a_scr, p, win, A, mm_dtype, a_scr, lo0=off)
+                    _expand_u(
+                        u_scr, p, win, sp, B, c2, ty, mm_dtype, u_scr, hi0=off
+                    )
+                else:
+                    _store_a(a_scr, p, win, A, mm_dtype, a2_scr)
+                    _expand_u(u_scr, p, win, sp, B, c2, ty, mm_dtype, u2_scr)
                 return 0
 
             def zero_tail(p, _):
                 a_scr[pl.ds(p * win, win), :] = jnp.zeros((win, tx), mm_dtype)
+                if fused:
+                    a_scr[pl.ds(off + p * win, win), :] = jnp.zeros(
+                        (win, tx), mm_dtype
+                    )
                 if a2_scr is not None:
                     a2_scr[pl.ds(p * win, win), :] = jnp.zeros(
                         (win, tx), mm_dtype
@@ -938,7 +960,9 @@ def _win_kernel(
                 as2_ref, us2_ref,
             )
 
-            def _class_work(cnt, hw_slot, evf, ztf, u_scr, a_scr, u2_scr, a2_scr):
+            def _class_work(
+                cnt, hw_slot, evf, ztf, u_scr, a_scr, u2_scr, a2_scr, off
+            ):
                 # evaluate the class's hits, zero only the A rows a previous
                 # step left nonzero above cnt (the unconditional zero-tail
                 # was ~45% of the whole kernel: ~400 MB/frame of zero
@@ -953,17 +977,34 @@ def _win_kernel(
                     _hit_loop(evf, cnt, unroll)
                     jax.lax.fori_loop(cnt, jnp.maximum(hw_ref[hw_slot], cnt), ztf, 0)
                     hw_ref[hw_slot] = cnt
-                    r = dot(u_scr[...], a_scr[...])
-                    if u2_scr is not None:
-                        # compensated bf16x3: hi*lo cross terms recover
-                        # ~fp32 (the lo*lo term is below fp32 noise)
-                        r = r + dot(u2_scr[...], a_scr[...])
-                    if a2_scr is not None:
-                        r = r + dot(u_scr[...], a2_scr[...])
+                    if fused:
+                        # combined layout U = [U_lo; U_hi], A = [A_hi; A_lo]:
+                        # the main term reads the hi halves; the full-height
+                        # dot contracts row-aligned U_lo*A_hi + U_hi*A_lo —
+                        # both bf16x3 cross terms in one K-doubled issue (the
+                        # lo*lo term is below fp32 noise)
+                        r = dot(
+                            u_scr[pl.ds(off, off), :], a_scr[pl.ds(0, off), :]
+                        )
+                        r = r + dot(u_scr[...], a_scr[...])
+                    else:
+                        r = dot(u_scr[...], a_scr[...])
+                        if u2_scr is not None:
+                            # compensated bf16x3: hi*lo cross terms recover
+                            # ~fp32
+                            r = r + dot(u2_scr[...], a_scr[...])
+                        if a2_scr is not None:
+                            r = r + dot(u_scr[...], a2_scr[...])
                     acc_ref[...] += r
 
-            _class_work(cnt_l, 0, ev, zt, ul_ref, al_ref, ul2_ref, al2_ref)
-            _class_work(cnt_s, 1, ev_s, zt_s, us_ref, as_ref, us2_ref, as2_ref)
+            _class_work(
+                cnt_l, 0, ev, zt, ul_ref, al_ref, ul2_ref, al2_ref,
+                pe_chunk * seg,
+            )
+            _class_work(
+                cnt_s, 1, ev_s, zt_s, us_ref, as_ref, us2_ref, as2_ref,
+                pe_chunk * ws,
+            )
 
         return 0
 
@@ -1170,6 +1211,13 @@ def _pallas_win_impl(
         and s2_bytes <= 6 * 1024 * 1024
     )
 
+    # bf16x3 default: FUSED cross terms — doubled-row combined scratches
+    # (A = [A_hi; A_lo], U = [U_lo; U_hi]) so the two cross contractions run
+    # as one K-doubled dot.  Same VMEM and store volume as the unfused
+    # layout; TRON_X3_UNFUSED=1 restores the 3-dot variant for A/B timing
+    # (trace-time knob, see the env-var note above).
+    fuse3 = passes == 3 and _os.environ.get("TRON_X3_UNFUSED", "0") in ("", "0")
+
     kern = functools.partial(
         _win_kernel,
         pe_chunk=pe_chunk,
@@ -1189,22 +1237,24 @@ def _pallas_win_impl(
         passes=passes,
         resident=resident,
         unroll=unroll,
+        fuse3=fuse3,
     )
 
+    rep = 2 if fuse3 else 1
     operand_scratch = [
-        pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
-        pltpu.VMEM((pe_chunk * seg, c2 * tile_y), mm_dtype),
-        pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
-        pltpu.VMEM((pe_chunk * ws, c2 * tile_y), mm_dtype),
+        pltpu.VMEM((rep * pe_chunk * seg, tile), mm_dtype),
+        pltpu.VMEM((rep * pe_chunk * seg, c2 * tile_y), mm_dtype),
+        pltpu.VMEM((rep * pe_chunk * ws, tile), mm_dtype),
+        pltpu.VMEM((rep * pe_chunk * ws, c2 * tile_y), mm_dtype),
     ]
-    if passes == 1:
+    if passes == 1 or fuse3:
         lo_scratch = []
     elif passes == 2:  # bf16x2: lo halves of the A operands only
         lo_scratch = [
             pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
             pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
         ]
-    else:              # bf16x3: lo halves of all four operands
+    else:              # bf16x3 (unfused): lo halves of all four operands
         lo_scratch = list(operand_scratch)
     s_spec = (
         pl.BlockSpec((nch * pe_chunk, nxos, c2), lambda i, j, k, *_: (0, 0, 0))

@@ -209,3 +209,24 @@ def test_bf16x2_accuracy(rng):
         _run(data, angles, nxos, tile=128, pe_chunk=8, matmul_dtype="bfloat16"), want
     )
     assert err3 < err2 < err1, (err3, err2, err1)
+
+
+def test_center_split_matches_single_call(rng):
+    """center_tile > 0 splits the windowed gridder into an outer flat-tile
+    call + a finer-tiled origin-region call (see _pallas_win_impl); the
+    result must match the single-call path to accumulation-order noise and
+    the jnp reference gridder to fp32 tolerance."""
+    from tron_tpu.config import KernelTuning
+
+    nxos = nro = 64
+    data, angles = _case(rng, 2, 9, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    base = _run(
+        data, angles, nxos, tile=16, pe_chunk=4, tuning=KernelTuning()
+    )
+    split = _run(
+        data, angles, nxos, tile=16, pe_chunk=4,
+        tuning=KernelTuning(center_tile=8),
+    )
+    assert nrmse(split, base) < 1e-6, nrmse(split, base)
+    assert nrmse(split, want) < 1e-5, nrmse(split, want)

@@ -56,6 +56,11 @@ class KernelTuning:
     vmem_budget: int = 12 * 1024 * 1024
     # koosh (-3) slice batch; 0 = auto-derive from the vmem budget
     koosh_batch: int = 0
+    # center-split: sub-tile size for the origin-adjacent region of the
+    # windowed gridder (0 = single-call path; see ops.grid_pallas
+    # _pallas_win_impl — the origin tiles carry ~half the expanded-operand
+    # volume and re-gridding them with finer tiles cuts it)
+    center_tile: int = 0
 
     @classmethod
     def from_env(cls) -> "KernelTuning":
@@ -79,6 +84,7 @@ class KernelTuning:
             vmem_limit=gi("TRON_VMEM_LIMIT", d.vmem_limit),
             vmem_budget=gi("TRON_VMEM_BUDGET", d.vmem_budget),
             koosh_batch=gi("TRON_KOOSH_BATCH", d.koosh_batch),
+            center_tile=gi("TRON_CT", d.center_tile),
         )
 
 

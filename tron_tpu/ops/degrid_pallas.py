@@ -178,7 +178,7 @@ def _degrid_pallas_impl(
     npe = angles.shape[0]
     nro = nxos
     tiles = nxos // tile
-    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
+    starts, nonempty, seg, _ = _tile_segments(nxos, tile, kernwidth)
 
     passes = {"bf16x3": 3, "bf16x2": 2}.get(matmul_dtype, 1)
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16

@@ -215,7 +215,10 @@ def _kb_inline(x2: jnp.ndarray, kernwidth: float, beta: float) -> jnp.ndarray:
     return jnp.where(inside, (0.5 / kernwidth) * i0, 0.0)
 
 
-def _tile_segments(nxos: int, tile: int, kernwidth: float, tile_y: int | None = None):
+def _tile_segments(
+    nxos: int, tile: int, kernwidth: float, tile_y: int | None = None,
+    nR: int | None = None, skip_center: int = 0,
+):
     """Static per-(tile, sign) radius segments.
 
     Tile (i, j) of the oversampled grid can only receive energy from samples
@@ -227,22 +230,39 @@ def _tile_segments(nxos: int, tile: int, kernwidth: float, tile_y: int | None = 
     start per (tile, sign) and one fixed segment length.
 
     Tiles are tile_y (rows) x tile (columns); tile_y defaults to square.
+    ``nR`` is the sample radius-row count (defaults to nxos); the
+    center-region call grids only an nxos-sized origin neighborhood of a
+    larger nR-row readout, so pixel offsets and radius-row index space use
+    different halves.
+
+    ``skip_center``: pixel size of a centered square region whose fully-
+    contained tiles are excluded from the seg_len max (the center-split
+    grids them separately with finer tiles; excluding their near-origin
+    bands shrinks every OUTER tile's long-class operand height).
 
     Returns (seg_start[tiles_y, tiles_x, 2] int32 in rr-index space,
-    nonempty[tiles_y, tiles_x, 2] bool, seg_len int).
+    nonempty[tiles_y, tiles_x, 2] bool, seg_len int,
+    outer[tiles_y, tiles_x] bool — False for skipped center tiles).
     """
     import numpy as np
 
     if tile_y is None:
         tile_y = tile
-    h = nxos // 2
+    if nR is None:
+        nR = nxos
+    h = nxos // 2         # pixel-coordinate half (output region)
+    hr = nR // 2          # radius-row half (sample index space)
     tiles_y, tiles_x = nxos // tile_y, nxos // tile
     bands = np.zeros((tiles_y, tiles_x, 2), np.int32)  # per-tile [lo, hi]
     nonempty = np.zeros((tiles_y, tiles_x, 2), bool)
+    outer = np.ones((tiles_y, tiles_x), bool)          # not skipped
+    hc = skip_center // 2
     for i in range(tiles_y):
         y0, y1 = i * tile_y - h, (i + 1) * tile_y - 1 - h
         for j in range(tiles_x):
             x0, x1 = j * tile - h, (j + 1) * tile - 1 - h
+            if skip_center and -hc <= x0 and x1 < hc and -hc <= y0 and y1 < hc:
+                outer[i, j] = False
             # min/max distance from origin to the tile rectangle
             dx = 0.0 if x0 <= 0 <= x1 else min(abs(x0), abs(x1))
             dy = 0.0 if y0 <= 0 <= y1 else min(abs(y0), abs(y1))
@@ -251,13 +271,14 @@ def _tile_segments(nxos: int, tile: int, kernwidth: float, tile_y: int | None = 
                 (xx * xx + yy * yy) ** 0.5 for xx in (x0, x1) for yy in (y0, y1)
             )
             lo = max(0, int(np.floor(rmin - kernwidth)) - 1)
-            hi = min(h - 1, int(np.ceil(rmax + kernwidth)) + 1)
+            hi = min(hr - 1, int(np.ceil(rmax + kernwidth)) + 1)
             bands[i, j] = (lo, hi)
             # sign 0 covers radii [lo, hi] (includes r == 0 exactly once);
             # sign 1 covers radii [-hi, -max(lo, 1)] (never r == 0)
             nonempty[i, j, 0] = lo <= hi
             nonempty[i, j, 1] = hi >= max(lo, 1)
-    seg_len = min(h, -(-int((bands[..., 1] - bands[..., 0]).max() + 1) // 8) * 8)
+    blen = (bands[..., 1] - bands[..., 0])[outer]
+    seg_len = min(hr, -(-int(blen.max() + 1) // 8) * 8)
     # Padding may only add out-of-band rows: |r| outside [lo, hi] has zero
     # KB weight for every pixel of the tile, and the r == -h row is zeroed
     # in the sample prep.
@@ -265,14 +286,14 @@ def _tile_segments(nxos: int, tile: int, kernwidth: float, tile_y: int | None = 
     for i in range(tiles_y):
         for j in range(tiles_x):
             lo, hi = int(bands[i, j, 0]), int(bands[i, j, 1])
-            # positive slice: start in [h, nxos-seg]; extras are r in
-            # [start-h, lo) or (hi, start-h+seg), all out of band
-            starts[i, j, 0] = min(max(lo + h, h), nxos - seg_len)
-            # negative slice: cover idx [h-hi, h-max(lo,1)]; may extend down
+            # positive slice: start in [hr, nR-seg]; extras are r in
+            # [start-hr, lo) or (hi, start-hr+seg), all out of band
+            starts[i, j, 0] = min(max(lo + hr, hr), nR - seg_len)
+            # negative slice: cover idx [hr-hi, hr-max(lo,1)]; may extend down
             # past -hi and up to r == lo-1 (or -1 when lo == 0)
-            end_max = h + lo - 1 if lo >= 1 else h - 1
-            starts[i, j, 1] = max(0, min(h - hi, end_max - seg_len + 1))
-    return starts, nonempty, seg_len
+            end_max = hr + lo - 1 if lo >= 1 else hr - 1
+            starts[i, j, 1] = max(0, min(hr - hi, end_max - seg_len + 1))
+    return starts, nonempty, seg_len, outer
 
 
 def _culling_tables(angles_s, nxos, tile, kernwidth, nonempty, nch, pe_chunk, cull):
@@ -535,6 +556,7 @@ def grid_radial2d_pallas(
             data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
             interpret, ws=t.ws, tile_y=tile_y, kf=t.kf, unroll=t.unroll,
             vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
+            center_tile=t.center_tile,
         )
     if nxos % tile == 0 and nxos // tile >= 2:
         return _pallas_seg_impl(
@@ -591,6 +613,7 @@ def grid_radial2d_pallas_planes(
         planes, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
         interpret, ws=t.ws, tile_y=ty, planes=True, kf=t.kf, unroll=t.unroll,
         vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
+        center_tile=t.center_tile,
     )
 
 
@@ -644,7 +667,7 @@ def _pallas_seg_impl(
     C, npe, nro = data.shape
     c2 = 2 * C
     tiles = nxos // tile
-    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth)
+    starts, nonempty, seg, _ = _tile_segments(nxos, tile, kernwidth)
 
     # clamp pe_chunk so the batched-contraction operand scratch fits VMEM
     itemsize = 4 if matmul_dtype == "float32" else 2
@@ -803,19 +826,9 @@ def _pallas_full_impl(
 
 
 def _win_kernel(
-    seg_ref,    # scalar prefetch: (T2*2,) i32 long-window (segment) starts
-    cntl_ref,   # scalar prefetch: (T2*2*nch,) i32 long hits per chunk
-    hll_ref,    # scalar prefetch: (T2*2*nch*PE,) i32 long hit slots
-    cnts_ref,   # scalar prefetch: (T2*2*nch,) i32 short hits per chunk
-    hls_ref,    # scalar prefetch: (T2*2*nch*PE,) i32 short hit slots
-    w0_ref,     # scalar prefetch: (T2*2*nch*PE,) i32 short window starts
-    ct_ref,     # scalar prefetch: (npe',) f32
-    st_ref,     # scalar prefetch: (npe',) f32
-    s_ref,      # (PE, nR, C2) samples
-    out_ref,    # (C2, TY, TX) f32
-    acc_ref,    # (C2*TY, TX) f32
-    *scratch,   # (PE*SEG, TX), (PE*SEG, C2*TY), (PE*WS, TX), (PE*WS, C2*TY)
-                # mm-dtype operand scratches; doubled (hi + lo) for bf16x3
+    *refs,      # [ti_ref, tj_ref (flat mode only)] + the 8 scalar-prefetch
+                # tables + s_ref, out_ref, acc_ref, operand scratches — see
+                # the unpacked names below
     pe_chunk: int,
     nxos: int,
     seg: int,
@@ -834,7 +847,32 @@ def _win_kernel(
     resident: bool = False,
     unroll: int = 1,
     fuse3: bool = True,
+    half_r: int | None = None,
+    flat: bool = False,
 ):
+    """Windowed gridding kernel body.
+
+    ``flat``: the grid is (n_tiles, nch//kf) with the (i, j) tile position
+    of step t looked up from two extra leading prefetch arrays — used by
+    the center-split main call to visit ONLY outer tiles (center tiles are
+    gridded by a separate finer-tiled call; see _pallas_win_impl).
+    """
+    if flat:
+        ti_ref, tj_ref, *refs = refs
+    (seg_ref,   # scalar prefetch: (T2*2,) i32 long-window (segment) starts
+     cntl_ref,  # scalar prefetch: (T2*2*nch,) i32 long hits per chunk
+     hll_ref,   # scalar prefetch: (T2*2*nch*PE,) i32 long hit slots
+     cnts_ref,  # scalar prefetch: (T2*2*nch,) i32 short hits per chunk
+     hls_ref,   # scalar prefetch: (T2*2*nch*PE,) i32 short hit slots
+     w0_ref,    # scalar prefetch: (T2*2*nch*PE,) i32 short window starts
+     ct_ref,    # scalar prefetch: (npe',) f32
+     st_ref,    # scalar prefetch: (npe',) f32
+     s_ref,     # (PE, nR, C2) samples
+     out_ref,   # (C2, TY, TX) f32
+     acc_ref,   # (C2*TY, TX) f32
+     *scratch,  # (PE*SEG, TX), (PE*SEG, C2*TY), (PE*WS, TX), (PE*WS, C2*TY)
+                # mm-dtype operand scratches; doubled (hi + lo) for bf16x3
+     ) = refs
     if passes == 1 or (passes == 3 and fuse3):
         # fused bf16x3 packs hi + lo into doubled-row combined scratches
         # (A = [A_hi; A_lo], U = [U_lo; U_hi]) so the two cross terms run as
@@ -851,16 +889,25 @@ def _win_kernel(
         (al_ref, ul_ref, as_ref, us_ref,
          al2_ref, ul2_ref, as2_ref, us2_ref, hw_ref) = scratch
     fused = passes == 3 and fuse3
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    k = pl.program_id(2)   # chunk-GROUP index: chunks [k*kf, (k+1)*kf)
-    nko = pl.num_programs(2)
+    if flat:
+        t = pl.program_id(0)
+        i = ti_ref[t]
+        j = tj_ref[t]
+        k = pl.program_id(1)   # chunk-GROUP index: chunks [k*kf, (k+1)*kf)
+        nko = pl.num_programs(1)
+        first = (t == 0) & (k == 0)
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        nko = pl.num_programs(2)
+        first = (i == 0) & (j == 0) & (k == 0)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when((i == 0) & (j == 0) & (k == 0))
+    @pl.when(first)
     def _first():
         # one-time scrub: tail slots stay stale in the U scratches and are
         # neutralized by zeroed A rows, but the first contents must be
@@ -876,7 +923,12 @@ def _win_kernel(
         hw_ref[0] = pe_chunk
         hw_ref[1] = pe_chunk
 
+    # ``half`` centers the OUTPUT pixel coordinates (nxos = the region this
+    # call grids, possibly just the origin neighborhood); ``half_r`` centers
+    # the SAMPLE radius-row index space (= full readout rows / 2) — they
+    # differ only for the center-region sub-tiled call
     half = nxos // 2
+    hr = half if half_r is None else half_r
     X = (
         jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
     ).astype(jnp.float32)
@@ -912,7 +964,7 @@ def _win_kernel(
                 ct = ct_ref[kq * pe_chunk + slot]
                 st = st_ref[kq * pe_chunk + slot]
                 rwin = (
-                    jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - half
+                    jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - hr
                 ).astype(jnp.float32)
                 A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
                 B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
@@ -1019,7 +1071,8 @@ def _win_kernel(
 
 
 def _chord_tables(
-    angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=None, tile_y=None
+    angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=None, tile_y=None,
+    nR=None,
 ):
     """Exact per-(tile, sign, spoke) in-tile radial chords: hit tests,
     short/long classification, compacted hit lists, and short-window starts.
@@ -1033,14 +1086,22 @@ def _chord_tables(
     ``npe``: count of real (non-padding) spokes; ghost spokes past it are
     masked out of the hit lists entirely (their samples are zero, so
     evaluating them would be pure waste).
+
+    ``nR``: sample radius-row count (defaults to nxos) — the center-region
+    call grids an nxos-sized origin neighborhood of an nR-row readout, so
+    pixel rects center on h = nxos//2 while rr-index space centers on
+    hr = nR//2.
     """
     import numpy as np
 
     if tile_y is None:
         tile_y = tile
+    if nR is None:
+        nR = nxos
     tiles_y, tiles_x = nxos // tile_y, nxos // tile
     t2 = tiles_y * tiles_x
     h = nxos // 2
+    hr = nR // 2
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
 
@@ -1063,7 +1124,7 @@ def _chord_tables(
     ry_hi = jnp.where(s > 0, y1 / s, jnp.where(s < 0, y0 / s, big))
     rmin = jnp.asarray([0.0, 1.0], jnp.float32)[None, :, None]
     lo = jnp.maximum(jnp.maximum(rx_lo, ry_lo), rmin)       # (T2, 2, npe')
-    hi = jnp.minimum(jnp.minimum(rx_hi, ry_hi), float(h - 1))
+    hi = jnp.minimum(jnp.minimum(rx_hi, ry_hi), float(hr - 1))
 
     hit = hi >= lo
     if npe is not None and npe < nch * pe_chunk:
@@ -1074,13 +1135,13 @@ def _chord_tables(
     short = hit & (length <= ws - 4)
     long_ = hit & ~short
 
-    # short window start in rr-index space: sign+ -> h+floor(lo)-2,
-    # sign- -> h-ceil(hi)-2.  Crucially the padding must never cross r = 0
+    # short window start in rr-index space: sign+ -> hr+floor(lo)-2,
+    # sign- -> hr-ceil(hi)-2.  Crucially the padding must never cross r = 0
     # into the other sign's territory (near the origin those rows are
-    # in-band and would double count): sign+ windows stay at idx >= h,
-    # sign- windows end at idx <= h-1 (rr <= -1).
-    w0p = jnp.clip(h + jnp.floor(lo[:, 0]) - 2, h, nxos - ws)
-    w0m = jnp.clip(h - jnp.ceil(hi[:, 1]) - 2, 0, h - ws)
+    # in-band and would double count): sign+ windows stay at idx >= hr,
+    # sign- windows end at idx <= hr-1 (rr <= -1).
+    w0p = jnp.clip(hr + jnp.floor(lo[:, 0]) - 2, hr, nR - ws)
+    w0m = jnp.clip(hr - jnp.ceil(hi[:, 1]) - 2, 0, hr - ws)
     w0 = jnp.stack([w0p, w0m], axis=1).astype(jnp.int32)    # (T2, 2, npe')
 
     cnt_l, hl_l = _pack_hits(long_, t2, nch, pe_chunk)
@@ -1118,12 +1179,13 @@ def _pack_hits(mask, t2, nch, pe_chunk):
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
         "ws", "tile_y", "planes", "kf", "unroll", "vmem_limit", "vmem_budget",
+        "center_tile",
     ),
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
     ws=48, tile_y=None, planes=False, kf=1, unroll=1, vmem_limit=0,
-    vmem_budget=12 * 1024 * 1024,
+    vmem_budget=12 * 1024 * 1024, center_tile=0,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
@@ -1145,7 +1207,37 @@ def _pallas_win_impl(
         C, npe, nro = data.shape
         c2 = 2 * C
     tiles_y, tiles_x = nxos // tile_y, nxos // tile
-    starts, nonempty, seg = _tile_segments(nxos, tile, kernwidth, tile_y=tile_y)
+
+    # center-split: the origin-adjacent main tiles are hit by EVERY spoke
+    # with near-maximal chords, carrying ~half the expanded-operand volume.
+    # When center_tile > 0 (and the geometry tile-aligns), the main call
+    # skips them (flat outer-tile list; their exclusion also shrinks the
+    # global long-segment height) and a second, finer-tiled call grids just
+    # the central cs x cs region from a radius-sliced sample block.
+    import math as _math
+
+    import numpy as np
+
+    cs = 2 * (tile * tile_y // _math.gcd(tile, tile_y))     # 2*lcm
+    split = (
+        center_tile > 0
+        and center_tile % 8 == 0
+        and nxos > cs
+        and cs % center_tile == 0
+        and cs // center_tile >= 2
+        and cs % min(128, cs) == 0
+        and (nxos // 2) % tile == 0
+        and (nxos // 2) % tile_y == 0
+    )
+    starts, nonempty, seg, outer = _tile_segments(
+        nxos, tile, kernwidth, tile_y=tile_y, skip_center=cs if split else 0
+    )
+
+    # the short-window start clamp (see _chord_tables) needs ws <= nR/2 so
+    # sign+ windows at [hr, nR-ws] can never cross r = 0 into the other
+    # sign's rows (on small grids an unclamped ws inverted the clip and
+    # double-counted near-origin samples)
+    ws = min(ws, nxos // 2)
 
     passes = {"bf16x3": 3, "bf16x2": 2}.get(matmul_dtype, 1)
     itemsize = 4 if matmul_dtype == "float32" else 2
@@ -1193,14 +1285,6 @@ def _pallas_win_impl(
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
 
-    cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
-        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe, tile_y=tile_y
-    )
-    if _os.environ.get("TRON_CULL") == "none":  # debug: dispatch-floor timing
-        cnt_l = cnt_l * 0
-        cnt_s = cnt_s * 0
-    seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
-
     # TRON_RESIDENT=1 holds the whole spoke set in VMEM (constant-index
     # block, fetched once) instead of re-DMAing a per-step block.  Measured
     # NEUTRAL-to-slightly-slower on the whole-body geometry (the per-step
@@ -1217,75 +1301,145 @@ def _pallas_win_impl(
     # layout; TRON_X3_UNFUSED=1 restores the 3-dot variant for A/B timing
     # (trace-time knob, see the env-var note above).
     fuse3 = passes == 3 and _os.environ.get("TRON_X3_UNFUSED", "0") in ("", "0")
-
-    kern = functools.partial(
-        _win_kernel,
-        pe_chunk=pe_chunk,
-        nxos=nxos,
-        seg=seg,
-        ws=ws,
-        tiles_x=tiles_x,
-        ty=tile_y,
-        tx=tile,
-        c2=c2,
-        kernwidth=kernwidth,
-        kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
-        scale=1.0 / (nxos * npe),
-        mm_dtype=mm_dtype,
-        nch=nch,
-        kf=kf,
-        passes=passes,
-        resident=resident,
-        unroll=unroll,
-        fuse3=fuse3,
-    )
-
+    cull_none = _os.environ.get("TRON_CULL") == "none"  # dispatch-floor timing
     rep = 2 if fuse3 else 1
-    operand_scratch = [
-        pltpu.VMEM((rep * pe_chunk * seg, tile), mm_dtype),
-        pltpu.VMEM((rep * pe_chunk * seg, c2 * tile_y), mm_dtype),
-        pltpu.VMEM((rep * pe_chunk * ws, tile), mm_dtype),
-        pltpu.VMEM((rep * pe_chunk * ws, c2 * tile_y), mm_dtype),
-    ]
-    if passes == 1 or fuse3:
-        lo_scratch = []
-    elif passes == 2:  # bf16x2: lo halves of the A operands only
-        lo_scratch = [
-            pltpu.VMEM((pe_chunk * seg, tile), mm_dtype),
-            pltpu.VMEM((pe_chunk * ws, tile), mm_dtype),
+
+    def run_call(nxr, txr, tyr, s2r, nRr, hr, starts_r, seg_r, tables, tlist,
+                 res_r, ws_r):
+        """One windowed pallas_call gridding an nxr x nxr region (txr x tyr
+        tiles) from an nRr-row sample block; tlist = (ti, tj) visits only
+        those tiles (flat mode), None visits the full rectangular grid."""
+        cnt_l, hl_l, cnt_s, hl_s, w0s = tables
+        if cull_none:
+            cnt_l = cnt_l * 0
+            cnt_s = cnt_s * 0
+        kern = functools.partial(
+            _win_kernel,
+            pe_chunk=pe_chunk,
+            nxos=nxr,
+            seg=seg_r,
+            ws=ws_r,
+            tiles_x=nxr // txr,
+            ty=tyr,
+            tx=txr,
+            c2=c2,
+            kernwidth=kernwidth,
+            kb_coeffs=_kb_taylor_coeffs(kernwidth, beta),
+            scale=1.0 / (nxos * npe),
+            mm_dtype=mm_dtype,
+            nch=nch,
+            kf=kf,
+            passes=passes,
+            resident=res_r,
+            unroll=unroll,
+            fuse3=fuse3,
+            half_r=hr,
+            flat=tlist is not None,
+        )
+        operand_scratch = [
+            pltpu.VMEM((rep * pe_chunk * seg_r, txr), mm_dtype),
+            pltpu.VMEM((rep * pe_chunk * seg_r, c2 * tyr), mm_dtype),
+            pltpu.VMEM((rep * pe_chunk * ws_r, txr), mm_dtype),
+            pltpu.VMEM((rep * pe_chunk * ws_r, c2 * tyr), mm_dtype),
         ]
-    else:              # bf16x3 (unfused): lo halves of all four operands
-        lo_scratch = list(operand_scratch)
-    s_spec = (
-        pl.BlockSpec((nch * pe_chunk, nxos, c2), lambda i, j, k, *_: (0, 0, 0))
-        if resident
-        else pl.BlockSpec((kf * pe_chunk, nxos, c2), lambda i, j, k, *_: (k, 0, 0))
+        if passes == 1 or fuse3:
+            lo_scratch = []
+        elif passes == 2:  # bf16x2: lo halves of the A operands only
+            lo_scratch = [
+                pltpu.VMEM((pe_chunk * seg_r, txr), mm_dtype),
+                pltpu.VMEM((pe_chunk * ws_r, txr), mm_dtype),
+            ]
+        else:              # bf16x3 (unfused): lo halves of all four operands
+            lo_scratch = list(operand_scratch)
+        if tlist is None:
+            grid = (nxr // tyr, nxr // txr, nch // kf)
+            sem = ("parallel", "parallel", "arbitrary")
+            out_idx = lambda i, j, k, *_: (0, i, j)
+            s_idx = lambda i, j, k, *_: (k, 0, 0)
+            s_const = lambda i, j, k, *_: (0, 0, 0)
+            pre = ()
+        else:
+            # flat mode: grid dim 0 walks the prefetched (ti, tj) tile
+            # list — skipped (center) tiles cost NOTHING, not even a
+            # dispatch step; their out blocks are overwritten by the
+            # center call's paste below
+            grid = (len(tlist[0]), nch // kf)
+            sem = ("parallel", "arbitrary")
+            out_idx = lambda t, k, ti, tj, *_: (0, ti[t], tj[t])
+            s_idx = lambda t, k, *_: (k, 0, 0)
+            s_const = lambda t, k, *_: (0, 0, 0)
+            pre = (
+                jnp.asarray(tlist[0], jnp.int32),
+                jnp.asarray(tlist[1], jnp.int32),
+            )
+        s_spec = (
+            pl.BlockSpec((nch * pe_chunk, nRr, c2), s_const)
+            if res_r
+            else pl.BlockSpec((kf * pe_chunk, nRr, c2), s_idx)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8 + len(pre),
+            grid=grid,
+            in_specs=[s_spec],
+            out_specs=pl.BlockSpec((c2, tyr, txr), out_idx),
+            scratch_shapes=[pltpu.VMEM((c2 * tyr, txr), jnp.float32)]
+            + operand_scratch
+            + lo_scratch
+            + [pltpu.SMEM((2,), jnp.int32)],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((c2, nxr, nxr), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=sem,
+                **_vmem_limit_kw(vmem_limit),
+            ),
+            interpret=interpret,
+        )(
+            *pre,
+            jnp.asarray(starts_r.reshape(-1), jnp.int32),
+            cnt_l.reshape(-1), hl_l.reshape(-1), cnt_s.reshape(-1),
+            hl_s.reshape(-1), w0s.reshape(-1), ct, st, s2r,
+        )
+
+    tables = _chord_tables(
+        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe,
+        tile_y=tile_y,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(tiles_y, tiles_x, nch // kf),
-        in_specs=[s_spec],
-        out_specs=pl.BlockSpec(
-            (c2, tile_y, tile), lambda i, j, k, *_: (0, i, j)
-        ),
-        scratch_shapes=[pltpu.VMEM((c2 * tile_y, tile), jnp.float32)]
-        + operand_scratch
-        + lo_scratch
-        + [pltpu.SMEM((2,), jnp.int32)],
-    )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c2, nxos, nxos), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            **_vmem_limit_kw(vmem_limit),
-        ),
-        interpret=interpret,
-    )(
-        seg_starts, cnt_l.reshape(-1), hl_l.reshape(-1), cnt_s.reshape(-1),
-        hl_s.reshape(-1), w0s.reshape(-1), ct, st, s2,
-    )
+    tlist = None
+    if split:
+        ti, tj = np.nonzero(outer)
+        tlist = (ti.astype(np.int32), tj.astype(np.int32))
+    out = run_call(nxos, tile, tile_y, s2, nxos, nxos // 2, starts, seg,
+                   tables, tlist, resident, ws)
+
+    if split:
+        # center call: grid the cs x cs origin region with thin
+        # center_tile x 128 sub-tiles (the TPU lowering requires 128-lane
+        # output blocks, so only the row dim shrinks — which is where the
+        # win lives: U operand width drops to c2*center_tile and most
+        # chords through a thin strip fall into the short-window class)
+        # from a radius-sliced sample block (rows beyond sqrt(2)*cs/2 +
+        # kw + 2 cannot reach any center pixel).
+        h = nxos // 2
+        ctx_ = min(128, cs)
+        rmaxc = int(np.ceil(cs / 2 * 2 ** 0.5 + kernwidth + 2))
+        hrc = min(h, -(-rmaxc // 8) * 8)
+        s2c = s2[:, h - hrc:h + hrc, :]
+        starts_c, _, seg_c, _ = _tile_segments(
+            cs, ctx_, kernwidth, tile_y=center_tile, nR=2 * hrc
+        )
+        ws_c = min(ws, hrc)
+        tables_c = _chord_tables(
+            angles_s, cs, ctx_, kernwidth, nch, pe_chunk, ws_c,
+            npe=npe, tile_y=center_tile, nR=2 * hrc,
+        )
+        ctr = run_call(cs, ctx_, center_tile, s2c, 2 * hrc, hrc,
+                       starts_c, seg_c, tables_c, None, False, ws_c)
+        out = jax.lax.dynamic_update_slice(
+            out, ctr, (0, h - cs // 2, h - cs // 2)
+        )
 
     out = out.reshape(C, 2, nxos, nxos)
     cplx = jnp.complex64 if planes else data.dtype

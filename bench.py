@@ -46,6 +46,13 @@ RESULT = {
 _PRINTED = False
 
 
+def _timed(fn):
+    """Wall time of one call (fn must block until device completion)."""
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _emit():
     """Print the one JSON result line exactly once (watchdog-safe)."""
     global _PRINTED
@@ -289,7 +296,15 @@ def main():
             return best
 
         t16, t64 = time_koosh_device(16), time_koosh_device(64)
-        RESULT["koosh_slices_per_s"] = round(48 / max(t64 - t16, 1e-9), 2)
+        slope = t64 - t16
+        if slope <= 0:
+            # a non-positive slope means a tunnel stall survived min-of-5;
+            # fail the section (retried by _attempt) rather than recording
+            # an absurd rate
+            raise RuntimeError(
+                f"non-positive koosh slope: t16={t16:.4f}s t64={t64:.4f}s"
+            )
+        RESULT["koosh_slices_per_s"] = round(48 / slope, 2)
 
         # end-to-end (host layout + tunnel transfers + compute), npe2=8
         dk = (
@@ -319,4 +334,6 @@ if __name__ == "__main__":
         traceback.print_exc(file=sys.stderr)
     # the one JSON line, ALWAYS — even a crashed run records what it measured
     _emit()
-    sys.exit(0 if RESULT.get("value") is not None else rc)
+    # exit nonzero whenever no headline value was measured, even if main()
+    # completed (every throughput attempt may have failed inside _attempt)
+    sys.exit(0 if RESULT.get("value") is not None else max(rc, 1))

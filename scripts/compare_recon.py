@@ -99,8 +99,8 @@ def main():
 
     from tron_tpu.config import AngleScheme, ReconConfig
     from tron_tpu.metrics import nmse, nrmse, ssim
-    from tron_tpu.nufft import nufft_adjoint, nufft_forward, sdc_weights
-    from tron_tpu.oracle import dtft2_adjoint_chunked
+    from tron_tpu.nufft import nufft_adjoint, nufft_forward
+    from tron_tpu.oracle import oracle_adjoint_recon
     from tron_tpu.phantom import shepp_logan
     from tron_tpu.trajectory import spoke_angles
     from tron_tpu.utils.xfer import to_device, to_host
@@ -145,7 +145,11 @@ def main():
                     cmd, env=env, capture_output=True, text=True, timeout=600
                 )
                 if proc.returncode != 0:
-                    raise RuntimeError(proc.stderr.strip().splitlines()[-1:])
+                    err_lines = proc.stderr.strip().splitlines()
+                    raise RuntimeError(
+                        err_lines[-1] if err_lines
+                        else f"worker exited {proc.returncode} with no stderr"
+                    )
                 info = json.loads(proc.stdout.strip().splitlines()[-1])
                 times["tron-pallas"] = info["time_s"]
                 recons["tron-pallas"] = np.load(opath)
@@ -154,19 +158,12 @@ def main():
                 print(f"# tron-pallas: skipped ({type(e).__name__}: {e})")
 
     if not args.skip_oracle and n <= 512:
-        kr = (np.arange(nro) / nro - 0.5) * nro
-        ang = np.asarray(angles)
-        kx = (kr[None, :] * np.cos(ang)[:, None]).ravel().astype(np.float32)
-        ky = (kr[None, :] * np.sin(ang)[:, None]).ravel().astype(np.float32)
-        w = np.asarray(sdc_weights(cfg0, nro, npe))
-        wd = np.asarray(to_host(data)) * w
-        wd[:, 0] = 0
         t0 = time.perf_counter()
         r = to_host(
-            jax.jit(dtft2_adjoint_chunked, static_argnums=(3, 4))(
-                to_device(wd.reshape(-1)), jnp.asarray(kx), jnp.asarray(ky), n, nro
+            jax.jit(oracle_adjoint_recon, static_argnums=(2, 3, 4))(
+                data, angles, cfg0, n, nro
             )
-        ) / (nro * npe)
+        )
         times["oracle"] = time.perf_counter() - t0
         recons["oracle"] = r
 

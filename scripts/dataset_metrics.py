@@ -86,28 +86,15 @@ def main():
     if args.oracle:
         import jax.numpy as jnp
 
-        from tron_tpu.nufft import sdc_weights
-        from tron_tpu.oracle import dtft2_adjoint_chunked
+        from tron_tpu.oracle import oracle_adjoint_recon
         from tron_tpu.trajectory import spoke_angles
-
-        nc_d = int(hdr.dims[0])
-        kr = (np.arange(nro) / nro - 0.5) * nro
 
         @jax.jit
         def _oracle(win, skip):
-            """Exact adjoint recon of one (nc, work, nro) window -> SoS (n,n).
-
-            Same weighting/scaling contract as the fast path: Ram-Lak SDC,
-            readout index 0 zeroed (the gridder's |radius| < n edge mask
-            excludes it), 1/(nxos*npe) scale (src/tron.cu:532)."""
+            """Exact adjoint recon of one (nc, work, nro) window -> SoS (n,n)
+            via the canonical oracle recipe (oracle.oracle_adjoint_recon)."""
             ang = spoke_angles(work, cfg.scheme_for("adjoint"), skip)
-            kx = (kr[None, :] * jnp.cos(ang)[:, None]).reshape(-1)
-            ky = (kr[None, :] * jnp.sin(ang)[:, None]).reshape(-1)
-            wd = win * sdc_weights(cfg, nro, work).astype(win.dtype)
-            wd = wd.at[..., 0].set(0)
-            img = dtft2_adjoint_chunked(
-                wd.reshape(nc_d, -1), kx, ky, n, nro
-            ) / (nro * work)
+            img = oracle_adjoint_recon(win, ang, cfg, n, nro)
             return jnp.sqrt(jnp.sum(jnp.abs(img) ** 2, axis=0))
 
         oracle_fn = _oracle
@@ -145,12 +132,12 @@ def main():
     write_header = not os.path.exists(args.csv)
     os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
     with open(args.csv, "a", newline="") as fh:
+        # fixed schema regardless of --oracle (blank cells when not computed)
+        # so appended runs never produce ragged rows under an older header
         fields = [
             "label", "frame", "ssim_vs_xla", "nmse_vs_xla",
-            "ssim_vs_truth", "nmse_vs_truth",
+            "ssim_vs_truth", "nmse_vs_truth", "oracle_nrmse", "oracle_ssim",
         ]
-        if any("oracle_nrmse" in r for r in rows):
-            fields += ["oracle_nrmse", "oracle_ssim"]
         w = csv.DictWriter(fh, fieldnames=fields, extrasaction="ignore")
         if write_header:
             w.writeheader()

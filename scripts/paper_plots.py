@@ -129,7 +129,10 @@ def measure_timings(csv_path: str) -> None:
     print(f"wrote {csv_path}")
 
 
-def timing_bars(csv_path: str, out_png: str) -> str:
+def timing_bars(csv_path: str, out_png: str) -> str | None:
+    if not os.path.exists(csv_path):
+        print(f"skip timing bars: {csv_path} missing", file=sys.stderr)
+        return None
     with open(csv_path) as fh:
         rows = list(csv.DictReader(fh))
     plt = _plt()
@@ -225,8 +228,15 @@ def main():
     args = p.parse_args()
 
     os.makedirs(FIGDIR, exist_ok=True)
-    if args.measure or not os.path.exists(args.timings):
+    if args.measure:
         measure_timings(args.timings)
+    elif not os.path.exists(args.timings):
+        # never launch full-scale device measurement implicitly — the
+        # documented contract is that timing only runs under --measure
+        print(
+            f"# no {args.timings}; run with --measure (on the TPU machine) "
+            "to time the datasets — skipping timing bars"
+        )
     made = [
         timing_bars(args.timings, f"{FIGDIR}/timing_bars.png"),
         ssim_table(args.metrics, f"{FIGDIR}/ssim_table.png"),

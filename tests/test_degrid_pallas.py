@@ -97,3 +97,30 @@ def test_pallas_degrid_bf16x3_fp32_grade(rng):
     m = _interior_mask(n)
     err = nrmse(got[..., m], want[..., m])
     assert err < 1e-4, f"{err:.2e}"
+
+
+def test_pallas_degrid_oversized_ws_clamped(rng):
+    """A tuned short-window larger than nxos/2 must be clamped (as on the
+    grid side): unclamped it inverts the w0 clip in _chord_tables and
+    double-counts near-origin samples."""
+    from tron_tpu.config import KernelTuning
+
+    n, npe, C = 256, 9, 1
+    beta = kb_beta(2.0, 2.0)
+    g = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
+        np.complex64
+    )
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 3))
+    base = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True, tuning=KernelTuning(),
+        )
+    )
+    big = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True, tuning=KernelTuning(ws=200),
+        )
+    )
+    assert nrmse(big, base) < 1e-6, nrmse(big, base)

@@ -101,3 +101,40 @@ def test_chunked_adjoint_matches_unchunked(rng):
         dtft2_adjoint_chunked(jnp.asarray(y), jnp.asarray(kx), jnp.asarray(ky), n, nos, chunk=16)
     )
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_oracle_adjoint_recon_matches_inline_recipe(rng):
+    """oracle_adjoint_recon is the ONE canonical weighting/scaling recipe
+    (Ram-Lak SDC, readout 0 zeroed, chunked DTFT adjoint, 1/(nro*npe));
+    pin it against the recipe spelled out inline so callers can't drift."""
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import sdc_weights
+    from tron_tpu.oracle import dtft2_adjoint_chunked, oracle_adjoint_recon
+    from tron_tpu.trajectory import spoke_angles
+
+    n, nc, npe = 16, 2, 12
+    nro = 2 * n
+    cfg = ReconConfig(backend="jnp", golden_angle=True)
+    data = (
+        rng.standard_normal((nc, npe, nro)) + 1j * rng.standard_normal((nc, npe, nro))
+    ).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, "golden", 0))
+
+    got = np.asarray(oracle_adjoint_recon(jnp.asarray(data), angles, cfg, n, nro))
+
+    kr = (np.arange(nro) / nro - 0.5) * nro
+    kx = (kr[None, :] * np.cos(np.asarray(angles))[:, None]).reshape(-1)
+    ky = (kr[None, :] * np.sin(np.asarray(angles))[:, None]).reshape(-1)
+    wd = data * np.asarray(sdc_weights(cfg, nro, npe), dtype=np.complex64)
+    wd[..., 0] = 0
+    want = np.asarray(
+        dtft2_adjoint_chunked(
+            jnp.asarray(wd.reshape(nc, -1)),
+            jnp.asarray(kx.astype(np.float32)),
+            jnp.asarray(ky.astype(np.float32)),
+            n,
+            nro,
+        )
+    ) / (nro * npe)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    assert got.shape == (nc, n, n)

@@ -285,8 +285,8 @@ def test_adjoint_vs_exact_dtft_whole_body_geometry(rng):
     import jax.numpy as jnp
 
     from tron_tpu.config import ReconConfig
-    from tron_tpu.nufft import nufft_adjoint, nufft_forward, sdc_weights
-    from tron_tpu.oracle import dtft2_adjoint_chunked
+    from tron_tpu.nufft import nufft_adjoint, nufft_forward
+    from tron_tpu.oracle import oracle_adjoint_recon
     from tron_tpu.phantom import birdcage_sensitivities, shepp_logan
     from tron_tpu.trajectory import spoke_angles
     from tron_tpu.utils.xfer import to_device, to_host
@@ -302,17 +302,11 @@ def test_adjoint_vs_exact_dtft_whole_body_geometry(rng):
     cfg_a = ReconConfig(backend="pallas", golden_angle=True, matmul_dtype="bf16x3")
     got = to_host(jax.jit(lambda x: nufft_adjoint(x, angles, cfg_a))(data))
 
-    kr = (np.arange(nro) / nro - 0.5) * nro
-
-    @jax.jit
-    def oracle(d):
-        kx = (kr[None, :] * jnp.cos(angles)[:, None]).reshape(-1)
-        ky = (kr[None, :] * jnp.sin(angles)[:, None]).reshape(-1)
-        wd = d * sdc_weights(cfg_j, nro, npe).astype(d.dtype)
-        wd = wd.at[..., 0].set(0)
-        return dtft2_adjoint_chunked(wd.reshape(nc, -1), kx, ky, n, nro) / (nro * npe)
-
-    want = to_host(oracle(data))
+    want = to_host(
+        jax.jit(oracle_adjoint_recon, static_argnums=(2, 3, 4))(
+            data, angles, cfg_j, n, nro
+        )
+    )
     err = _nrmse(got, want)
     # bound = the KB kernel's (kw=2, osf=2) approximation error vs the exact
     # transform on phantom data; bf16x3 rounding (~1e-6) is far below it

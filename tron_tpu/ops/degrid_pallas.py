@@ -179,6 +179,10 @@ def _degrid_pallas_impl(
     nro = nxos
     tiles = nxos // tile
     starts, nonempty, seg, _ = _tile_segments(nxos, tile, kernwidth)
+    # same clamp as the grid side: short-window starts at [hr, nR-ws] must
+    # never cross r = 0 into the other sign's rows (an unclamped ws on small
+    # grids inverts the clip in _chord_tables and double-counts near origin)
+    ws = min(ws, nxos // 2)
 
     passes = {"bf16x3": 3, "bf16x2": 2}.get(matmul_dtype, 1)
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16

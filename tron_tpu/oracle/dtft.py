@@ -96,3 +96,38 @@ def dtft2_adjoint_chunked(
     acc0 = jnp.zeros(batch + (n, n), jnp.complex64)
     out, _ = jax.lax.scan(body, acc0, (s, kxp, kyp))
     return out
+
+
+def oracle_adjoint_recon(
+    data: jnp.ndarray,
+    angles: jnp.ndarray,
+    cfg,
+    n: int,
+    nro: int,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Exact adjoint recon of radial data under the fast path's contract.
+
+    One canonical implementation of the weighting/scaling recipe every
+    oracle comparison shares (RUNME2/RUNME4-role scoring, the full-geometry
+    parity test, dataset_metrics --oracle): per-cfg SDC (Ram-Lak by
+    default), readout index 0 zeroed (the gridder's |radius| < n edge mask
+    excludes it), exact chunked DTFT adjoint, 1/(nro*npe) scale
+    (src/tron.cu:532).
+
+    data: (..., npe, nro) complex samples; angles: (npe,) spoke angles.
+    Returns (..., n, n) complex coil images (no combine).  jit-safe with
+    n/nro/chunk static.
+    """
+    from tron_tpu.nufft import sdc_weights
+
+    npe = int(angles.shape[0])
+    kr = (jnp.arange(nro).astype(jnp.float32) / nro - 0.5) * nro
+    kx = (kr[None, :] * jnp.cos(angles)[:, None]).reshape(-1)
+    ky = (kr[None, :] * jnp.sin(angles)[:, None]).reshape(-1)
+    d = jnp.asarray(data)
+    wd = d * sdc_weights(cfg, nro, npe).astype(d.dtype)
+    wd = wd.at[..., 0].set(0)
+    batch = d.shape[:-2]
+    img = dtft2_adjoint_chunked(wd.reshape(batch + (-1,)), kx, ky, n, nro, chunk)
+    return img / (nro * npe)

@@ -67,3 +67,70 @@ def test_cgnr_operator_pair():
 
     adj = np.asarray(nufft_adjoint(data, angles, cfg))
     assert lmse(xp, img) < lmse(adj, img)
+
+
+def test_toeplitz_apply_matches_exact_normal_operator(rng):
+    """toeplitz_apply with the exact-DTFT kernel must equal the literal
+    E^H W E (exact NUFFT normal operator) applied via dtft2 / dtft2_adjoint."""
+    from tron_tpu.nufft import sdc_weights
+    from tron_tpu.oracle import dtft2, dtft2_adjoint
+    from tron_tpu.solver import toeplitz_apply, toeplitz_fourier_kernel
+
+    n, npe = 16, 11
+    nro = 2 * n
+    cfg = ReconConfig(golden_angle=True)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
+    x = (rng.standard_normal((2, n, n)) + 1j * rng.standard_normal((2, n, n))).astype(
+        np.complex64
+    )
+
+    mult = toeplitz_fourier_kernel(angles, cfg, nro, method="exact")
+    got = np.asarray(toeplitz_apply(jnp.asarray(x), mult))
+
+    kr = (np.arange(nro) / nro - 0.5) * nro
+    ang = np.asarray(angles)
+    kx = jnp.asarray((kr[None, :] * np.cos(ang)[:, None]).reshape(-1).astype(np.float32))
+    ky = jnp.asarray((kr[None, :] * np.sin(ang)[:, None]).reshape(-1).astype(np.float32))
+    w = np.asarray(sdc_weights(cfg, nro, npe)).copy()
+    w[0] = 0
+    wfull = np.broadcast_to(w[None, :], (npe, nro)).reshape(-1)
+    y = np.asarray(dtft2(jnp.asarray(x), kx, ky, nro))
+    want = np.asarray(dtft2_adjoint(jnp.asarray(y * wfull), kx, ky, n, nro))
+
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-5, f"toeplitz vs literal normal operator: {err:.2e}"
+
+
+def test_toeplitz_nufft_kernel_matches_exact(rng):
+    """The fast (gridded) PSF kernel must agree with the exact-DTFT kernel
+    to NUFFT accuracy."""
+    from tron_tpu.solver import toeplitz_fourier_kernel
+
+    n, npe = 32, 24
+    nro = 2 * n
+    cfg = ReconConfig(golden_angle=True)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
+    exact = np.asarray(toeplitz_fourier_kernel(angles, cfg, nro, method="exact"))
+    fast = np.asarray(toeplitz_fourier_kernel(angles, cfg, nro, method="nufft"))
+    err = np.linalg.norm(fast - exact) / np.linalg.norm(exact)
+    assert err < 2e-3, f"gridded vs exact PSF kernel: {err:.2e}"
+
+
+def test_cgnr_toeplitz_matches_operator_mode():
+    """CGNR with the Toeplitz normal operator must land on (essentially) the
+    same solution as the operator pair/transpose mode — the two normal
+    operators differ only at the NUFFT approximation level."""
+    n, npe = 32, 24
+    cfg = ReconConfig(angle_scheme=AngleScheme.LINEAR_HALF)
+    img = shepp_logan(n)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.LINEAR_HALF))
+    data = nufft_forward(jnp.asarray(img), angles, cfg)
+
+    x_op = np.asarray(cgnr_radial2d(data, angles, cfg, niter=8))
+    x_tp = np.asarray(cgnr_radial2d(data, angles, cfg, niter=8, operators="toeplitz"))
+    err = np.linalg.norm(x_tp - x_op) / np.linalg.norm(x_op)
+    assert err < 2e-2, f"toeplitz vs operator CGNR solutions: {err:.2e}"
+
+    e_adj = lmse(np.asarray(__import__("tron_tpu.nufft", fromlist=["nufft_adjoint"]).nufft_adjoint(data, angles, cfg)), img)
+    e_tp = lmse(x_tp, img)
+    assert e_tp < e_adj, f"toeplitz CGNR ({e_tp:.3f}) should beat adjoint ({e_adj:.3f})"

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "compensated bf16x3 (~fp32, ~18%% slower)")
     p.add_argument("--compress", type=int, default=0, metavar="N",
                    help="SVD-compress to N virtual coils before gridding")
+    p.add_argument("--toeplitz", action="store_true",
+                   help="with -i: apply the CGNR normal operator as a "
+                   "Toeplitz-embedded FFT convolution (one precomputed PSF "
+                   "kernel per frame; each iteration costs two 2n-FFT pairs "
+                   "instead of a degrid+grid)")
     p.add_argument("--shard", action="store_true",
                    help="shard frames across all local devices (adjoint 2D "
                    "recon; single-process mesh via shard_map)")
@@ -118,6 +123,7 @@ def main(argv=None) -> int:
         prof_slide=args.prof_slide,
         adjoint=args.adjoint,
         niter=args.niter,
+        toeplitz=args.toeplitz,
         koosh=args.koosh,
         backend=args.backend,
         angle_scheme=args.scheme,

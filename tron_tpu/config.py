@@ -110,6 +110,12 @@ class ReconConfig:
     sdc: str = "ramlak"          # "ramlak" (reference parity, src/tron.cu:405-416)
                                  # | "ideal" (exact polar cell areas, unit gain)
     niter: int = 0               # -i CGNR iterations (0 = plain adjoint)
+    toeplitz: bool = False       # --toeplitz: apply the CGNR normal operator
+                                 # as a Toeplitz-embedded FFT convolution
+                                 # (one precomputed PSF kernel per frame;
+                                 # each iteration is two 2n-FFT pairs
+                                 # instead of a degrid+grid — see
+                                 # solver.toeplitz_fourier_kernel)
     koosh: bool = False          # -3 (3D stack handling)
     coil_combine: str = "sos"    # "sos" | "walsh" | "none"
     walsh_npatch: int = 1

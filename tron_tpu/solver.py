@@ -33,6 +33,96 @@ from tron_tpu.config import ReconConfig
 from tron_tpu.nufft import nufft_adjoint, nufft_forward, sdc_weights
 
 
+def toeplitz_fourier_kernel(
+    angles: jnp.ndarray, cfg: ReconConfig, nro: int, method: str = "auto"
+) -> jnp.ndarray:
+    """Fourier multiplier of the Toeplitz-embedded normal operator.
+
+    For the *exact* radial NUFFT E (DTFT at the sample points), the
+    Ram-Lak-weighted normal operator is block-Toeplitz — it depends only on
+    pixel offsets:
+
+        (E^H W E x)[p] = sum_{p'} t[p - p'] x[p'],
+        t[d] = sum_m w_m exp(+2i pi k_m . d / nro)
+
+    so CGNR iterations need no gridding at all: T applies as one circular
+    convolution on a 2n-padded grid (Fessler & Sutton's Toeplitz NUFFT
+    trick, which the reference's broken CGNR at `src/tron.cu:658-720` never
+    had).  Returns fft2(ifftshift(t)) of shape (2n, 2n) with n = nro // 2.
+
+    ``method``:
+      * "nufft" — t computed by the fast adjoint NUFFT itself at doubled
+        image size: the doubled-frequency identity
+        exp(2i pi k d / nro) = exp(2i pi (2k) d / (2 nro)) means embedding
+        the weights at the even readouts of a (npe, 2*nro) array and
+        gridding at image size 2n yields exactly t (to NUFFT accuracy,
+        ~4e-4 — the same approximation level as the operator it replaces).
+        One gridding call per frame, amortized over all iterations.
+      * "exact" — t by the exact chunked DTFT adjoint (oracle-grade,
+        O((2n)^2 M) flops; for tests and small problems).
+      * "auto" — "nufft" when the doubled geometry fits the fast path
+        (nro == nxos), else "exact".
+
+    Readout 0 is weighted out, matching the pair-mode operator convention
+    (one sample per spoke at the highest |k|, never gridded).
+    """
+    npe = int(angles.shape[0])
+    n = nro // 2
+    nxos = int(n * cfg.gridos)
+    w = sdc_weights(cfg, nro, npe).at[0].set(0)
+    if method == "auto":
+        method = "nufft" if nro == nxos else "exact"
+
+    if method == "exact":
+        from tron_tpu.oracle.dtft import dtft2_adjoint_chunked
+
+        kr = (jnp.arange(nro, dtype=jnp.float32) / nro - 0.5) * nro
+        kx = (kr[None, :] * jnp.cos(angles)[:, None]).reshape(-1)
+        ky = (kr[None, :] * jnp.sin(angles)[:, None]).reshape(-1)
+        wfull = jnp.broadcast_to(
+            w.astype(jnp.complex64)[None, :], (npe, nro)
+        ).reshape(-1)
+        t = dtft2_adjoint_chunked(wfull, kx, ky, 2 * n, nro)
+    else:
+        w2 = (
+            jnp.zeros((npe, 2 * nro), jnp.complex64)
+            .at[:, ::2]
+            .set(w.astype(jnp.complex64)[None, :])
+        )
+        t = nufft_adjoint(w2, angles, cfg, apply_sdc=False) * (2 * nro * npe)
+    return jnp.fft.fft2(jnp.fft.ifftshift(t, axes=(-2, -1)))
+
+
+def toeplitz_apply(x: jnp.ndarray, mult: jnp.ndarray) -> jnp.ndarray:
+    """Apply the Toeplitz-embedded normal operator: zero-pad the (..., n, n)
+    image into the corner of a (2n, 2n) grid, multiply in Fourier space,
+    crop back.  The 2n circulant evaluates every offset in [-(n-1), n-1]^2
+    without aliasing, so the cropped block is exact.
+
+    On TPU the FFT sandwich runs as constant-DFT MXU matmuls (XLA's VPU FFT
+    is slow at these sizes; see ops.fftops) when 2n fits the gate."""
+    from tron_tpu.nufft import _MXU_DFT_MAX, _on_tpu
+
+    n = x.shape[-1]
+    n2 = 2 * n
+    xp = jnp.zeros(x.shape[:-2] + (n2, n2), jnp.complex64)
+    xp = xp.at[..., :n, :n].set(x)
+    if _on_tpu() and n2 <= _MXU_DFT_MAX:
+        import numpy as np
+
+        jk = np.arange(n2)[:, None] * np.arange(n2)[None, :]
+        F = jnp.asarray(np.exp(-2j * np.pi * jk / n2).astype(np.complex64))
+        hi = jax.lax.Precision.HIGHEST
+        X = jnp.einsum("ab,...bc,cd->...ad", F, xp, F, precision=hi)
+        Y = X * mult
+        y = jnp.einsum(
+            "ab,...bc,cd->...ad", jnp.conj(F), Y, jnp.conj(F), precision=hi
+        ) / (n2 * n2)
+    else:
+        y = jnp.fft.ifft2(jnp.fft.fft2(xp) * mult)
+    return y[..., :n, :n].astype(x.dtype)
+
+
 def cgnr_radial2d(
     data: jnp.ndarray,
     angles: jnp.ndarray,
@@ -51,18 +141,29 @@ def cgnr_radial2d(
 
     ``operators``: "pair" uses the explicit fast forward/adjoint kernel pair
     (TPU Pallas path); "transpose" uses jax.linear_transpose of the dense
-    forward (exact to the last bit, any backend); "auto" picks by platform.
+    forward (exact to the last bit, any backend); "toeplitz" applies the
+    normal operator as a Toeplitz-embedded FFT convolution (one precomputed
+    PSF kernel, then two 2n-FFT pairs per iteration instead of a
+    degrid+grid — see toeplitz_fourier_kernel; the RHS A^H W b still uses
+    the fast adjoint once); "auto" picks pair/transpose by platform.
     """
     niter = cfg.niter if niter is None else niter
     npe, nro = data.shape[-2:]
     n = nro // 2
     nxos = int(n * cfg.gridos)
     img_shape = data.shape[:-2] + (n, n)
-    w = sdc_weights(cfg, nro, npe).astype(data.dtype)
+    # readout 0 (one sample per spoke, at the highest |k|) is weighted out of
+    # the least-squares problem in EVERY operator mode: the gridding kernel
+    # never grids it (edge clip, reference convention), so this makes
+    # pair/transpose/toeplitz all solve the identical W-weighted problem —
+    # platform-independent solutions, and the Toeplitz kernel (which shares
+    # the convention) stays consistent with the RHS A^H W b.
+    w = sdc_weights(cfg, nro, npe).astype(data.dtype).at[0].set(0)
 
     import dataclasses
 
-    if operators == "auto":
+    toeplitz = operators == "toeplitz"
+    if operators in ("auto", "toeplitz"):
         # the fast gridding kernel is the (clip-convention-exact) adjoint of
         # the fast degridding kernel, so on TPU the normal operator is two
         # Pallas calls; elsewhere fall back to autodiff transposes of the
@@ -77,7 +178,6 @@ def cgnr_radial2d(
         # which is weighted out of the problem (one sample per spoke, at the
         # highest |k|)
         fwd = partial(nufft_forward, angles=angles, cfg=cfg, nro=nro, wrap=False)
-        w = w.at[0].set(0)
 
         def AHW(y):
             out = nufft_adjoint(w * y, angles, cfg, apply_sdc=False)
@@ -99,8 +199,19 @@ def cgnr_radial2d(
             (out,) = fwd_t(jnp.conj(w * y))
             return jnp.conj(out)
 
-    def normal(x):
-        return AHW(fwd(x))
+    if toeplitz:
+        mult = toeplitz_fourier_kernel(angles, cfg, nro)
+
+        def normal(x):
+            # E^H W E (exact-NUFFT normal operator); its fixed point differs
+            # from the pair/transpose modes' A^H W A only at the NUFFT
+            # approximation level (~4e-4, the method's intrinsic accuracy)
+            return toeplitz_apply(x, mult)
+
+    else:
+
+        def normal(x):
+            return AHW(fwd(x))
 
     b = AHW(data)
 
@@ -135,5 +246,6 @@ def cgnr_radial2d(
 def cgnr_or_adjoint(data, angles, cfg: ReconConfig):
     """Dispatch like the reference driver (`src/tron.cu:753-758`)."""
     if cfg.niter > 0:
-        return cgnr_radial2d(data, angles, cfg)
+        ops = "toeplitz" if cfg.toeplitz else "auto"
+        return cgnr_radial2d(data, angles, cfg, operators=ops)
     return nufft_adjoint(data, angles, cfg)

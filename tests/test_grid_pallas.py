@@ -230,3 +230,32 @@ def test_center_split_matches_single_call(rng):
     )
     assert nrmse(split, base) < 1e-6, nrmse(split, base)
     assert nrmse(split, want) < 1e-5, nrmse(split, want)
+
+
+@pytest.mark.parametrize("mm", ["float32", "bfloat16", "bf16x3"])
+def test_batched_kernel_matches_loop_kernel(rng, mm):
+    """KernelTuning(batched=True) swaps the per-hit fori_loop for a static
+    unroll whose operands are SSA values concatenated into the dots (no
+    operand scratches).  float32 mode must be bitwise-equal to the loop
+    kernel (identical math, identical FMA formation); the bf16 modes may
+    diverge by rounding-path reassociation only, so they are gated against
+    the fp32 reference at their precision-class tolerance."""
+    from tron_tpu.config import KernelTuning
+
+    nxos = nro = 256
+    data, angles = _case(rng, 2, 12, nro)
+    loop = _run(
+        data, angles, nxos, tile=128, pe_chunk=4, matmul_dtype=mm,
+        tuning=KernelTuning(),
+    )
+    batched = _run(
+        data, angles, nxos, tile=128, pe_chunk=4, matmul_dtype=mm,
+        tuning=KernelTuning(batched=True),
+    )
+    if mm == "float32":
+        np.testing.assert_array_equal(batched, loop)
+    else:
+        want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+        tol = 2e-2 if mm == "bfloat16" else 2e-4
+        assert nrmse(batched, want) < tol, nrmse(batched, want)
+        assert nrmse(batched, loop) < tol / 10, nrmse(batched, loop)

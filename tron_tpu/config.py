@@ -61,6 +61,12 @@ class KernelTuning:
     # _pallas_win_impl — the origin tiles carry ~half the expanded-operand
     # volume and re-gridding them with finer tiles cuts it)
     center_tile: int = 0
+    # batched-eval gridding kernel: replace the dynamic per-hit fori_loop
+    # with a static unroll over hit slots whose A/B/U operands are SSA
+    # values concatenated into the dot operands (no per-hit scratch stores,
+    # no zero-tail bookkeeping; padded slots masked through the KB poly's
+    # support clamp) — see ops.grid_pallas._win_kernel_batched
+    batched: bool = False
 
     @classmethod
     def from_env(cls) -> "KernelTuning":
@@ -85,6 +91,7 @@ class KernelTuning:
             vmem_budget=gi("TRON_VMEM_BUDGET", d.vmem_budget),
             koosh_batch=gi("TRON_KOOSH_BATCH", d.koosh_batch),
             center_tile=gi("TRON_CT", d.center_tile),
+            batched=gi("TRON_BATCHED", 1 if d.batched else 0) != 0,
         )
 
 

@@ -556,7 +556,7 @@ def grid_radial2d_pallas(
             data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
             interpret, ws=t.ws, tile_y=tile_y, kf=t.kf, unroll=t.unroll,
             vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
-            center_tile=t.center_tile,
+            center_tile=t.center_tile, batched=t.batched,
         )
     if nxos % tile == 0 and nxos // tile >= 2:
         return _pallas_seg_impl(
@@ -613,7 +613,7 @@ def grid_radial2d_pallas_planes(
         planes, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
         interpret, ws=t.ws, tile_y=ty, planes=True, kf=t.kf, unroll=t.unroll,
         vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
-        center_tile=t.center_tile,
+        center_tile=t.center_tile, batched=t.batched,
     )
 
 
@@ -1070,6 +1070,174 @@ def _win_kernel(
         out_ref[...] = acc_ref[...].reshape(c2, ty, tx) * scale
 
 
+def _win_kernel_batched(
+    *refs,
+    pe_chunk: int,
+    nxos: int,
+    seg: int,
+    ws: int,
+    tiles_x: int,
+    ty: int,
+    tx: int,
+    c2: int,
+    kernwidth: float,
+    kb_coeffs,
+    scale: float,
+    mm_dtype,
+    nch: int,
+    kf: int = 1,
+    passes: int = 1,
+    resident: bool = False,
+    fuse3: bool = True,
+    half_r: int | None = None,
+    flat: bool = False,
+):
+    """Batched-eval windowed gridding kernel (config.KernelTuning.batched).
+
+    Same dataflow and tables as _win_kernel, but the per-hit dynamic
+    fori_loop is replaced by a STATIC unroll over the pe_chunk hit slots:
+    each slot's KB operand rows are SSA values, row-concatenated into the
+    two dot operands.  No operand scratches, no per-hit dynamic-offset
+    stores, no zero-tail/high-water bookkeeping — slots past the hit count
+    are masked by pushing their A-operand argument out of the KB support
+    (where _kb_poly clamps to exactly 0), so their A rows vanish and the
+    contraction ignores whatever their (index-clipped) U rows hold.
+
+    Hypothesis under test (NOTES.md round-1/2 cost model): the loop
+    kernel's VPU underutilization (~4x below naive peak) is scalar-driven
+    loop *sequencing* plus per-hit scratch-store traffic; straight-line
+    dense vector code with compiler-scheduled value dataflow avoids both.
+    The trade: padded slots are evaluated (masked) instead of skipped, so
+    blocks pay pe_chunk evals regardless of cnt — acceptable at the high
+    slot occupancy the compacted hit lists produce.
+    """
+    if flat:
+        ti_ref, tj_ref, *refs = refs
+    (seg_ref, cntl_ref, hll_ref, cnts_ref, hls_ref, w0_ref, ct_ref, st_ref,
+     s_ref, out_ref, acc_ref) = refs
+
+    if flat:
+        t = pl.program_id(0)
+        i = ti_ref[t]
+        j = tj_ref[t]
+        k = pl.program_id(1)
+        nko = pl.num_programs(1)
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        nko = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    half = nxos // 2
+    hr = half if half_r is None else half_r
+    X = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
+    ).astype(jnp.float32)
+    Y = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
+    ).astype(jnp.float32)
+
+    def dot(u, a):
+        return jax.lax.dot_general(
+            u, a,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def contract(ah, al, uh, ul):
+        if passes == 3 and fuse3:
+            # main term on the hi halves + ONE K-doubled cross dot
+            # (U_lo*A_hi + U_hi*A_lo), as in the fused scratch layout
+            return dot(uh, ah) + dot(
+                jnp.concatenate([ul, uh], axis=0),
+                jnp.concatenate([ah, al], axis=0),
+            )
+        r = dot(uh, ah)
+        if passes == 3:
+            r = r + dot(ul, ah) + dot(uh, al)
+        elif passes == 2:
+            r = r + dot(uh, al)
+        return r
+
+    def chunk_body(q, _):
+        kq = k * kf + q
+        slot0 = kq * pe_chunk if resident else q * pe_chunk
+
+        def class_operands(site, win, hl, w0_for, cnt):
+            a_hi, a_lo, u_hi, u_lo = [], [], [], []
+            for p in range(pe_chunk):
+                slot = hl[(site * nch + kq) * pe_chunk + p]
+                w0 = w0_for(p, site)
+                ct = ct_ref[kq * pe_chunk + slot]
+                st = st_ref[kq * pe_chunk + slot]
+                rwin = (
+                    jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - hr
+                ).astype(jnp.float32)
+                # invalid slots (p >= cnt): zero the A rows via a 0/1 scalar
+                # multiply — NOT by perturbing the poly argument, which
+                # changes FMA formation by an ulp and flips support-boundary
+                # ties vs the loop kernel
+                vmask = (p < cnt).astype(jnp.float32)
+                A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs) * vmask
+                B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
+                sp = s_ref[slot0 + slot, pl.ds(w0, win), :]
+                U = jnp.concatenate(
+                    [sp[:, c : c + 1] * B for c in range(c2)], axis=1
+                )
+                ah = A.astype(mm_dtype)
+                uh = U.astype(mm_dtype)
+                a_hi.append(ah)
+                u_hi.append(uh)
+                if passes >= 2:
+                    a_lo.append((A - ah.astype(jnp.float32)).astype(mm_dtype))
+                if passes == 3:
+                    u_lo.append((U - uh.astype(jnp.float32)).astype(mm_dtype))
+
+            def cat(xs):
+                return jnp.concatenate(xs, axis=0) if xs else None
+
+            return cat(a_hi), cat(a_lo), cat(u_hi), cat(u_lo)
+
+        for sgn in range(2):
+            site = (i * tiles_x + j) * 2 + sgn
+            seg0 = seg_ref[site]
+
+            cnt_l = cntl_ref[site * nch + kq]
+
+            @pl.when(cnt_l > 0)
+            def _long(site=site, seg0=seg0, cnt=cnt_l):
+                ah, al, uh, ul = class_operands(
+                    site, seg, hll_ref, lambda p, s_, v=seg0: v, cnt
+                )
+                acc_ref[...] += contract(ah, al, uh, ul)
+
+            cnt_s = cnts_ref[site * nch + kq]
+
+            @pl.when(cnt_s > 0)
+            def _short(site=site, cnt=cnt_s):
+                ah, al, uh, ul = class_operands(
+                    site, ws, hls_ref,
+                    lambda p, s_=site: w0_ref[(s_ * nch + kq) * pe_chunk + p],
+                    cnt,
+                )
+                acc_ref[...] += contract(ah, al, uh, ul)
+
+        return 0
+
+    if kf == 1:
+        chunk_body(0, 0)
+    else:
+        jax.lax.fori_loop(0, kf, chunk_body, 0)
+
+    @pl.when(k == nko - 1)
+    def _done():
+        out_ref[...] = acc_ref[...].reshape(c2, ty, tx) * scale
+
+
 def _chord_tables(
     angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=None, tile_y=None,
     nR=None,
@@ -1179,13 +1347,13 @@ def _pack_hits(mask, t2, nch, pe_chunk):
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
         "ws", "tile_y", "planes", "kf", "unroll", "vmem_limit", "vmem_budget",
-        "center_tile",
+        "center_tile", "batched",
     ),
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
     ws=48, tile_y=None, planes=False, kf=1, unroll=1, vmem_limit=0,
-    vmem_budget=12 * 1024 * 1024, center_tile=0,
+    vmem_budget=12 * 1024 * 1024, center_tile=0, batched=False,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
@@ -1313,8 +1481,7 @@ def _pallas_win_impl(
         if cull_none:
             cnt_l = cnt_l * 0
             cnt_s = cnt_s * 0
-        kern = functools.partial(
-            _win_kernel,
+        common = dict(
             pe_chunk=pe_chunk,
             nxos=nxr,
             seg=seg_r,
@@ -1331,11 +1498,14 @@ def _pallas_win_impl(
             kf=kf,
             passes=passes,
             resident=res_r,
-            unroll=unroll,
             fuse3=fuse3,
             half_r=hr,
             flat=tlist is not None,
         )
+        if batched:
+            kern = functools.partial(_win_kernel_batched, **common)
+        else:
+            kern = functools.partial(_win_kernel, unroll=unroll, **common)
         operand_scratch = [
             pltpu.VMEM((rep * pe_chunk * seg_r, txr), mm_dtype),
             pltpu.VMEM((rep * pe_chunk * seg_r, c2 * tyr), mm_dtype),
@@ -1351,6 +1521,11 @@ def _pallas_win_impl(
             ]
         else:              # bf16x3 (unfused): lo halves of all four operands
             lo_scratch = list(operand_scratch)
+        if batched:
+            # the batched kernel's operands are SSA values scheduled by
+            # Mosaic — no explicit scratches, no high-water SMEM
+            operand_scratch = []
+            lo_scratch = []
         if tlist is None:
             grid = (nxr // tyr, nxr // txr, nch // kf)
             sem = ("parallel", "parallel", "arbitrary")
@@ -1385,7 +1560,7 @@ def _pallas_win_impl(
             scratch_shapes=[pltpu.VMEM((c2 * tyr, txr), jnp.float32)]
             + operand_scratch
             + lo_scratch
-            + [pltpu.SMEM((2,), jnp.int32)],
+            + ([] if batched else [pltpu.SMEM((2,), jnp.int32)]),
         )
         return pl.pallas_call(
             kern,

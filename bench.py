@@ -126,7 +126,29 @@ def main():
     from tron_tpu.recon import recon_frames
     from tron_tpu.utils.xfer import to_device, to_host
 
+    # Backend init gets its own, tighter watchdog: a downed tunnel makes
+    # jax.devices() HANG (observed: >500 s, no exception), and burning the
+    # full 2400 s global budget on init leaves the driver a truncated
+    # record.  If the backend doesn't come up in BENCH_INIT_WATCHDOG_S,
+    # emit the (empty) JSON immediately and exit 1.
+    import threading
+
+    init_budget = float(os.environ.get("BENCH_INIT_WATCHDOG_S", "600"))
+
+    def init_fire():
+        RESULT.setdefault("errors", {})["backend_init"] = (
+            f"jax.devices() did not return within {init_budget:.0f}s "
+            "(TPU tunnel down?)"
+        )
+        _emit()
+        os._exit(1)
+
+    init_timer = threading.Timer(init_budget, init_fire)
+    init_timer.daemon = True
+    if init_budget > 0:
+        init_timer.start()
     RESULT["platform"] = jax.devices()[0].platform
+    init_timer.cancel()
     RESULT["backend"] = BACKEND
 
     # whole-body frame geometry: nro=512, npe1work=204, slide=21 (RUNME3:10)

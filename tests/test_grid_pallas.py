@@ -259,3 +259,24 @@ def test_batched_kernel_matches_loop_kernel(rng, mm):
         tol = 2e-2 if mm == "bfloat16" else 2e-4
         assert nrmse(batched, want) < tol, nrmse(batched, want)
         assert nrmse(batched, loop) < tol / 10, nrmse(batched, loop)
+
+
+def test_batched_with_center_split(rng):
+    """batched=True must compose with the center-split flat-tile-list
+    dispatch (untested combination otherwise: flat mode reads the (ti, tj)
+    prefetch tables inside the batched kernel too)."""
+    from tron_tpu.config import KernelTuning
+
+    nxos = nro = 64
+    data, angles = _case(rng, 2, 9, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, 2.0)))
+    split_b = _run(
+        data, angles, nxos, tile=16, pe_chunk=4,
+        tuning=KernelTuning(center_tile=8, batched=True),
+    )
+    base_b = _run(
+        data, angles, nxos, tile=16, pe_chunk=4,
+        tuning=KernelTuning(batched=True),
+    )
+    assert nrmse(split_b, base_b) < 1e-6, nrmse(split_b, base_b)
+    assert nrmse(split_b, want) < 1e-5, nrmse(split_b, want)

@@ -64,8 +64,8 @@ class KernelTuning:
     # batched-eval gridding kernel: replace the dynamic per-hit fori_loop
     # with a static unroll over hit slots whose A/B/U operands are SSA
     # values concatenated into the dot operands (no per-hit scratch stores,
-    # no zero-tail bookkeeping; padded slots masked through the KB poly's
-    # support clamp) — see ops.grid_pallas._win_kernel_batched
+    # no zero-tail bookkeeping; padded slots' A rows are zeroed by a 0/1
+    # scalar multiply) — see ops.grid_pallas._win_kernel_batched
     batched: bool = False
 
     @classmethod

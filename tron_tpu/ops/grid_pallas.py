@@ -825,6 +825,55 @@ def _pallas_full_impl(
     return (out[:, 0] + 1j * out[:, 1]).astype(data.dtype)
 
 
+def _win_step_ids(flat, ti_ref, tj_ref):
+    """Tile position + chunk-group index of this grid step (shared by
+    _win_kernel and _win_kernel_batched).  flat mode looks (i, j) up from
+    the prefetched tile-list refs; returns (i, j, k, nko, first)."""
+    if flat:
+        t = pl.program_id(0)
+        i = ti_ref[t]
+        j = tj_ref[t]
+        k = pl.program_id(1)   # chunk-GROUP index: chunks [k*kf, (k+1)*kf)
+        nko = pl.num_programs(1)
+        first = (t == 0) & (k == 0)
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        nko = pl.num_programs(2)
+        first = (i == 0) & (j == 0) & (k == 0)
+    return i, j, k, nko, first
+
+
+def _win_tile_coords(i, j, nxos, half_r, ty, tx):
+    """Centered output-pixel coordinate rows (X, Y) of tile (i, j).
+
+    ``nxos // 2`` centers the OUTPUT pixel coordinates (nxos = the region
+    this call grids, possibly just the origin neighborhood); the returned
+    ``hr`` centers the SAMPLE radius-row index space (= full readout rows
+    / 2) — they differ only for the center-region sub-tiled call."""
+    half = nxos // 2
+    hr = half if half_r is None else half_r
+    X = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
+    ).astype(jnp.float32)
+    Y = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
+    ).astype(jnp.float32)
+    return X, Y, hr
+
+
+def _dot_k(u, a):
+    """(K, C2*TY) K-contracted with (K, TX) -> (C2*TY, TX): the output
+    block leaves the kernel already in (c2, y, x) layout, so the epilogue
+    needs no XLA transpose (a measured ~0.2 ms/frame save)."""
+    return jax.lax.dot_general(
+        u, a,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _win_kernel(
     *refs,      # [ti_ref, tj_ref (flat mode only)] + the 8 scalar-prefetch
                 # tables + s_ref, out_ref, acc_ref, operand scratches — see
@@ -889,19 +938,9 @@ def _win_kernel(
         (al_ref, ul_ref, as_ref, us_ref,
          al2_ref, ul2_ref, as2_ref, us2_ref, hw_ref) = scratch
     fused = passes == 3 and fuse3
-    if flat:
-        t = pl.program_id(0)
-        i = ti_ref[t]
-        j = tj_ref[t]
-        k = pl.program_id(1)   # chunk-GROUP index: chunks [k*kf, (k+1)*kf)
-        nko = pl.num_programs(1)
-        first = (t == 0) & (k == 0)
-    else:
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        k = pl.program_id(2)
-        nko = pl.num_programs(2)
-        first = (i == 0) & (j == 0) & (k == 0)
+    i, j, k, nko, first = _win_step_ids(
+        flat, ti_ref if flat else None, tj_ref if flat else None
+    )
 
     @pl.when(k == 0)
     def _init():
@@ -923,28 +962,8 @@ def _win_kernel(
         hw_ref[0] = pe_chunk
         hw_ref[1] = pe_chunk
 
-    # ``half`` centers the OUTPUT pixel coordinates (nxos = the region this
-    # call grids, possibly just the origin neighborhood); ``half_r`` centers
-    # the SAMPLE radius-row index space (= full readout rows / 2) — they
-    # differ only for the center-region sub-tiled call
-    half = nxos // 2
-    hr = half if half_r is None else half_r
-    X = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
-    ).astype(jnp.float32)
-    Y = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
-    ).astype(jnp.float32)
-
-    def dot(u, a):
-        # (K, C2*TY)^T-contracted with (K, TX) -> (C2*TY, TX): the output
-        # block leaves the kernel already in (c2, y, x) layout, so the
-        # epilogue needs no XLA transpose (a measured ~0.2 ms/frame save)
-        return jax.lax.dot_general(
-            u, a,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    X, Y, hr = _win_tile_coords(i, j, nxos, half_r, ty, tx)
+    dot = _dot_k
 
     def chunk_body(q, _):
         # kq: global chunk index; the sample block holds this step's kf
@@ -1099,9 +1118,10 @@ def _win_kernel_batched(
     each slot's KB operand rows are SSA values, row-concatenated into the
     two dot operands.  No operand scratches, no per-hit dynamic-offset
     stores, no zero-tail/high-water bookkeeping — slots past the hit count
-    are masked by pushing their A-operand argument out of the KB support
-    (where _kb_poly clamps to exactly 0), so their A rows vanish and the
-    contraction ignores whatever their (index-clipped) U rows hold.
+    are masked by zeroing their A rows with a 0/1 scalar multiply (NOT by
+    perturbing the KB poly argument, which changes FMA formation by an ulp
+    and flips support-boundary ties vs the loop kernel), so the contraction
+    ignores whatever their (index-clipped) U rows hold.
 
     Hypothesis under test (NOTES.md round-1/2 cost model): the loop
     kernel's VPU underutilization (~4x below naive peak) is scalar-driven
@@ -1111,42 +1131,20 @@ def _win_kernel_batched(
     blocks pay pe_chunk evals regardless of cnt — acceptable at the high
     slot occupancy the compacted hit lists produce.
     """
+    ti_ref = tj_ref = None
     if flat:
         ti_ref, tj_ref, *refs = refs
     (seg_ref, cntl_ref, hll_ref, cnts_ref, hls_ref, w0_ref, ct_ref, st_ref,
      s_ref, out_ref, acc_ref) = refs
 
-    if flat:
-        t = pl.program_id(0)
-        i = ti_ref[t]
-        j = tj_ref[t]
-        k = pl.program_id(1)
-        nko = pl.num_programs(1)
-    else:
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        k = pl.program_id(2)
-        nko = pl.num_programs(2)
+    i, j, k, nko, _ = _win_step_ids(flat, ti_ref, tj_ref)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    half = nxos // 2
-    hr = half if half_r is None else half_r
-    X = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1) + (j * tx - half)
-    ).astype(jnp.float32)
-    Y = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, ty), 1) + (i * ty - half)
-    ).astype(jnp.float32)
-
-    def dot(u, a):
-        return jax.lax.dot_general(
-            u, a,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    X, Y, hr = _win_tile_coords(i, j, nxos, half_r, ty, tx)
+    dot = _dot_k
 
     def contract(ah, al, uh, ul):
         if passes == 3 and fuse3:

@@ -84,7 +84,6 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
                 )
                 coilimg = cgnr_radial2d(
                     win, angles, cfg, reduce_axes=("coil",) if ncs > 1 else (),
-                    operators="toeplitz" if cfg.toeplitz else "auto",
                 )
             elif use_planes:
                 winp = jax.lax.dynamic_slice_in_dim(planes, pe0, npe1work, axis=0)

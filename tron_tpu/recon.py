@@ -48,10 +48,7 @@ def reconstruct_frame(
     npe = data_window.shape[-2]
     angles = spoke_angles(npe, cfg.scheme_for("adjoint"), skip)
     if cfg.niter > 0:
-        coilimg = cgnr_radial2d(
-            data_window, angles, cfg,
-            operators="toeplitz" if cfg.toeplitz else "auto",
-        )
+        coilimg = cgnr_radial2d(data_window, angles, cfg)
     else:
         coilimg = nufft_adjoint(data_window, angles, cfg)
     return _combine(coilimg, cfg)

@@ -72,6 +72,27 @@ def toeplitz_fourier_kernel(
     w = sdc_weights(cfg, nro, npe).at[0].set(0)
     if method == "auto":
         method = "nufft" if nro == nxos else "exact"
+        if method == "exact" and n > 64:
+            import warnings
+
+            warnings.warn(
+                f"toeplitz_fourier_kernel: gridos={cfg.gridos} != 2 forces "
+                f"the exact-DTFT PSF kernel (O((2n)^2 M) flops at n={n}) — "
+                "expect a slow per-frame precompute; use gridos=2 for the "
+                "fast gridded kernel",
+                stacklevel=2,
+            )
+    elif method == "nufft" and nro != nxos:
+        # the doubled-frequency embedding holds ONLY at gridos == 2: the
+        # gridder's readout->grid radius map is gridos-dependent, and for
+        # any other osf the even-slot samples land at the wrong doubled
+        # frequencies (measured: 0.48-1.0 NRMSE vs exact) — refuse rather
+        # than return a silently wrong kernel
+        raise ValueError(
+            f"toeplitz_fourier_kernel(method='nufft') requires gridos == 2 "
+            f"(got gridos={cfg.gridos}: nxos={nxos} != nro={nro}); use "
+            "method='exact' or 'auto'"
+        )
 
     if method == "exact":
         from tron_tpu.oracle.dtft import dtft2_adjoint_chunked
@@ -89,7 +110,12 @@ def toeplitz_fourier_kernel(
             .at[:, ::2]
             .set(w.astype(jnp.complex64)[None, :])
         )
-        t = nufft_adjoint(w2, angles, cfg, apply_sdc=False) * (2 * nro * npe)
+        # undo the gridder's 1/(nxos'*npe) reference scale at the DOUBLED
+        # geometry: nufft_adjoint sees nro' = 2*nro, so n' = nro and
+        # nxos' = int(nro * gridos) (== 2*nro only when gridos == 2)
+        t = nufft_adjoint(w2, angles, cfg, apply_sdc=False) * (
+            int(nro * cfg.gridos) * npe
+        )
     return jnp.fft.fft2(jnp.fft.ifftshift(t, axes=(-2, -1)))
 
 
@@ -145,7 +171,8 @@ def cgnr_radial2d(
     normal operator as a Toeplitz-embedded FFT convolution (one precomputed
     PSF kernel, then two 2n-FFT pairs per iteration instead of a
     degrid+grid — see toeplitz_fourier_kernel; the RHS A^H W b still uses
-    the fast adjoint once); "auto" picks pair/transpose by platform.
+    the fast adjoint once); "auto" resolves to "toeplitz" when
+    cfg.toeplitz is set, else picks pair/transpose by platform.
     """
     niter = cfg.niter if niter is None else niter
     npe, nro = data.shape[-2:]
@@ -162,6 +189,8 @@ def cgnr_radial2d(
 
     import dataclasses
 
+    if operators == "auto" and cfg.toeplitz:
+        operators = "toeplitz"  # honor the config flag for direct callers
     toeplitz = operators == "toeplitz"
     if operators in ("auto", "toeplitz"):
         # the fast gridding kernel is the (clip-convention-exact) adjoint of
@@ -246,6 +275,5 @@ def cgnr_radial2d(
 def cgnr_or_adjoint(data, angles, cfg: ReconConfig):
     """Dispatch like the reference driver (`src/tron.cu:753-758`)."""
     if cfg.niter > 0:
-        ops = "toeplitz" if cfg.toeplitz else "auto"
-        return cgnr_radial2d(data, angles, cfg, operators=ops)
+        return cgnr_radial2d(data, angles, cfg)
     return nufft_adjoint(data, angles, cfg)

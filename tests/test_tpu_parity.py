@@ -311,3 +311,37 @@ def test_adjoint_vs_exact_dtft_whole_body_geometry(rng):
     # bound = the KB kernel's (kw=2, osf=2) approximation error vs the exact
     # transform on phantom data; bf16x3 rounding (~1e-6) is far below it
     assert err < 5e-3, f"whole-body-geometry oracle nrmse: {err:.2e}"
+
+
+def test_grid_pallas_batched_kernel_on_tpu(rng):
+    """The batched-eval kernel (KernelTuning.batched) must compile under
+    Mosaic and match the loop kernel on hardware.  Kept to a small geometry
+    with pe_chunk=4: the static unroll multiplies program size by the
+    chunk, and a pe16 whole-body compile costs minutes on the AOT
+    toolchain (NOTES.md round 3)."""
+    import jax.numpy as jnp
+
+    from tron_tpu.config import AngleScheme, KernelTuning
+    from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    nxos, C, npe = 256, 2, 12
+    data = (
+        rng.standard_normal((C, npe, nxos)) + 1j * rng.standard_normal((C, npe, nxos))
+    ).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
+    d = to_device(data)
+    kw = dict(pe_chunk=4, matmul_dtype="float32")
+    loop = to_host(
+        grid_radial2d_pallas(d, angles, nxos, KW, _beta(), tuning=KernelTuning(), **kw)
+    )
+    batched = to_host(
+        grid_radial2d_pallas(
+            d, angles, nxos, KW, _beta(), tuning=KernelTuning(batched=True), **kw
+        )
+    )
+    # fp32 mode: identical math, identical FMA formation (bitwise on CPU
+    # interpret; allow accumulation-order noise margin on hardware)
+    err = _nrmse(batched, loop)
+    assert err < 1e-6, f"batched vs loop kernel on TPU: {err:.2e}"

@@ -23,6 +23,7 @@ the run, and the JSON line is ALWAYS printed with whatever was measured.
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -44,6 +45,7 @@ RESULT = {
 }
 
 _PRINTED = False
+_EMIT_LOCK = threading.Lock()
 
 
 def _timed(fn):
@@ -54,11 +56,26 @@ def _timed(fn):
 
 
 def _emit():
-    """Print the one JSON result line exactly once (watchdog-safe)."""
+    """Print the one JSON result line exactly once (watchdog-safe).
+
+    The watchdog thread and the main thread can both reach this (and the
+    main thread may still be inserting RESULT keys when the watchdog
+    fires), so the check-and-print is locked and the dumps retries through
+    a concurrent-mutation RuntimeError."""
     global _PRINTED
-    if not _PRINTED:
+    with _EMIT_LOCK:
+        if _PRINTED:
+            return
         _PRINTED = True
-        print(json.dumps(RESULT), flush=True)
+        for _ in range(3):
+            try:
+                line = json.dumps(RESULT)
+                break
+            except RuntimeError:  # dict mutated during iteration
+                time.sleep(0.05)
+        else:
+            line = json.dumps({k: RESULT.get(k) for k in list(RESULT)})
+        print(line, flush=True)
 
 
 def _arm_watchdog():
@@ -66,7 +83,6 @@ def _arm_watchdog():
     wait no retry loop can see.  A daemon timer force-emits whatever was
     measured and hard-exits before any outer driver timeout turns the run
     into an empty record.  BENCH_WATCHDOG_S=0 disables."""
-    import threading
 
     budget = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
     if budget <= 0:
@@ -131,8 +147,6 @@ def main():
     # full 2400 s global budget on init leaves the driver a truncated
     # record.  If the backend doesn't come up in BENCH_INIT_WATCHDOG_S,
     # emit the (empty) JSON immediately and exit 1.
-    import threading
-
     init_budget = float(os.environ.get("BENCH_INIT_WATCHDOG_S", "600"))
 
     def init_fire():

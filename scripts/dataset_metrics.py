@@ -129,15 +129,26 @@ def main():
             row["oracle_ssim"] = round(float(ssim(frame, orc)), 6)
         rows.append(row)
 
-    write_header = not os.path.exists(args.csv)
+    # fixed schema regardless of --oracle (blank cells when not computed)
+    # so appended runs never produce ragged rows under an older header
+    fields = [
+        "label", "frame", "ssim_vs_xla", "nmse_vs_xla",
+        "ssim_vs_truth", "nmse_vs_truth", "oracle_nrmse", "oracle_ssim",
+    ]
+    write_header = True
+    if os.path.exists(args.csv):
+        with open(args.csv, newline="") as fh:
+            head = fh.readline().strip()
+        if head == ",".join(fields):
+            write_header = False
+        else:
+            # a pre-schema file: appending 8-cell rows under its header
+            # would produce ragged rows — move it aside and start fresh
+            backup = args.csv + ".old"
+            os.replace(args.csv, backup)
+            print(f"note: {args.csv} had an older schema; moved to {backup}")
     os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
     with open(args.csv, "a", newline="") as fh:
-        # fixed schema regardless of --oracle (blank cells when not computed)
-        # so appended runs never produce ragged rows under an older header
-        fields = [
-            "label", "frame", "ssim_vs_xla", "nmse_vs_xla",
-            "ssim_vs_truth", "nmse_vs_truth", "oracle_nrmse", "oracle_ssim",
-        ]
         w = csv.DictWriter(fh, fieldnames=fields, extrasaction="ignore")
         if write_header:
             w.writeheader()

@@ -124,11 +124,12 @@ def _centered_dft_mat(n: int, nxos: int, kernwidth: float, beta: float, deapod: 
         # while f stays positive over the crop (true for the default and
         # Beatty betas at gridos=2).  Fail loudly if a future (kernwidth,
         # beta) combo ever drives kb_hat nonpositive inside the crop.
-        assert (f > 0).all(), (
-            "kb_hat nonpositive inside the center crop: the separable MXU "
-            "deapod fold would diverge from deapodize(); use the FFT path "
-            f"for kernwidth={kernwidth}, beta={beta}"
-        )
+        if not (f > 0).all():  # a real raise, not assert: survives python -O
+            raise ValueError(
+                "kb_hat nonpositive inside the center crop: the separable "
+                "MXU deapod fold would diverge from deapodize(); use the "
+                f"FFT path for kernwidth={kernwidth}, beta={beta}"
+            )
         g = 1.0 / f
         M = g[:, None] * M
     # cache NUMPY (converting to a jax array here would capture a tracer

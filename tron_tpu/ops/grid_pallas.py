@@ -950,7 +950,12 @@ def _win_kernel(
     def _first():
         # one-time scrub: tail slots stay stale in the U scratches and are
         # neutralized by zeroed A rows, but the first contents must be
-        # finite (not NaN garbage) for 0*x == 0 to hold
+        # finite (not NaN garbage) for 0*x == 0 to hold.
+        # ASSUMPTION: one TensorCore runs the whole grid (true on v5e, the
+        # target chip).  If Mosaic ever megacore-partitions the leading
+        # 'parallel' dim (v4/v5p), the second core's scratches and hw_ref
+        # would miss this init — gate the scrub on k == 0 (per-tile) before
+        # enabling such parts, at ~2% est. scrub overhead (NOTES.md)
         ul_ref[...] = jnp.zeros_like(ul_ref)
         us_ref[...] = jnp.zeros_like(us_ref)
         if ul2_ref is not None:

@@ -134,6 +134,13 @@ def main(argv=None) -> int:
     )
 
     stream = args.stream and cfg.adjoint and not cfg.koosh and not args.shard
+    if args.stream and not stream:
+        why = (
+            "--shard" if args.shard
+            else "-3/koosh" if cfg.koosh
+            else "forward mode"
+        )
+        print(f"note: --stream ignored ({why} loads the input in memory)")
     if stream:
         # streaming path: only the header is read here; profile windows are
         # pulled from disk block by block inside the recon driver

@@ -124,3 +124,35 @@ def test_pallas_degrid_oversized_ws_clamped(rng):
         )
     )
     assert nrmse(big, base) < 1e-6, nrmse(big, base)
+
+
+@pytest.mark.parametrize("mm", ["float32", "bf16x3"])
+def test_pallas_degrid_batched_matches_loop(rng, mm):
+    """KernelTuning(batched=True) statically unrolls the per-hit loop with
+    0/1-masked padded slots.  float32 mode must be bitwise-equal to the
+    loop kernel (same per-hit math and store order, masked adds of exact
+    zeros); bf16x3 stays within rounding-path noise of the loop kernel."""
+    from tron_tpu.config import KernelTuning
+
+    n, npe, C = 256, 11, 2
+    beta = kb_beta(2.0, 2.0)
+    g = (rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))).astype(
+        np.complex64
+    )
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 5))
+    loop = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=4,
+            matmul_dtype=mm, interpret=True, tuning=KernelTuning(),
+        )
+    )
+    batched = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, n, 2.0, beta, pe_chunk=4,
+            matmul_dtype=mm, interpret=True, tuning=KernelTuning(batched=True),
+        )
+    )
+    if mm == "float32":
+        np.testing.assert_array_equal(batched, loop)
+    else:
+        assert nrmse(batched, loop) < 1e-5, nrmse(batched, loop)

@@ -61,11 +61,13 @@ class KernelTuning:
     # _pallas_win_impl — the origin tiles carry ~half the expanded-operand
     # volume and re-gridding them with finer tiles cuts it)
     center_tile: int = 0
-    # batched-eval gridding kernel: replace the dynamic per-hit fori_loop
-    # with a static unroll over hit slots whose A/B/U operands are SSA
-    # values concatenated into the dot operands (no per-hit scratch stores,
-    # no zero-tail bookkeeping; padded slots' A rows are zeroed by a 0/1
-    # scalar multiply) — see ops.grid_pallas._win_kernel_batched
+    # batched-eval kernels: replace the dynamic per-hit fori_loop with a
+    # static unroll over hit slots.  Gridding side: A/B/U operands become
+    # SSA values concatenated into the dot operands (no per-hit scratch
+    # stores, no zero-tail bookkeeping) — ops.grid_pallas._win_kernel_batched.
+    # Degridding side: same unroll with 0/1-masked padded-slot contributions
+    # — ops.degrid_pallas._degrid_kernel(batched=True).  Both bitwise-equal
+    # to the loop kernels in float32 mode.
     batched: bool = False
 
     @classmethod

@@ -63,6 +63,7 @@ def _degrid_kernel(
     mm_dtype,
     passes: int = 1,
     unroll: int = 1,
+    batched: bool = False,
 ):
     k = pl.program_id(0)
     i = pl.program_id(1)
@@ -100,7 +101,7 @@ def _degrid_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    def make_spoke(site, win, hl, w0_for):
+    def make_spoke(site, win, hl, w0_for, cnt=None):
         def spoke(p, _):
             slot = hl[(site * nch + k) * pe_chunk + p]
             w0 = w0_for(p)
@@ -136,25 +137,41 @@ def _degrid_kernel(
                 ],
                 axis=-1,
             )                                                   # (WIN, C2)
+            if cnt is not None:
+                # batched static unroll: slots past the hit count still run
+                # (their hit-list/window entries are index-clipped to valid
+                # values by _pack_hits) but contribute exactly zero via a
+                # 0/1 scalar multiply — same masking as the grid-side
+                # batched kernel, same support-boundary-tie rationale
+                contrib = contrib * (p < cnt).astype(jnp.float32)
             cur = acc_ref[slot, pl.ds(w0, win), :]
             acc_ref[slot, pl.ds(w0, win), :] = cur + contrib
             return 0
 
         return spoke
 
+    def run(spoke_fn, cnt):
+        if batched:
+            for p in range(pe_chunk):
+                spoke_fn(p, 0)
+        else:
+            _hit_loop(spoke_fn, cnt, unroll)
+
     for sgn in range(2):
         site = (i * tiles + j) * 2 + sgn
         seg0 = seg_ref[site]
         cnt_l = cntl_ref[site * nch + k]
-        _hit_loop(make_spoke(site, seg, hll_ref, lambda p: seg0), cnt_l, unroll)
+        mask_l = cnt_l if batched else None
+        run(make_spoke(site, seg, hll_ref, lambda p: seg0, mask_l), cnt_l)
         cnt_s = cnts_ref[site * nch + k]
-        _hit_loop(
+        mask_s = cnt_s if batched else None
+        run(
             make_spoke(
                 site, ws, hls_ref,
                 lambda p, s_=site: w0_ref[(s_ * nch + k) * pe_chunk + p],
+                mask_s,
             ),
             cnt_s,
-            unroll,
         )
 
     @pl.when((i == pl.num_programs(1) - 1) & (j == pl.num_programs(2) - 1))
@@ -166,12 +183,12 @@ def _degrid_kernel(
     jax.jit,
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
-        "cull", "ws", "unroll", "vmem_limit",
+        "cull", "ws", "unroll", "vmem_limit", "batched",
     ),
 )
 def _degrid_pallas_impl(
     kgrid, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
-    cull="geom", ws=48, unroll=1, vmem_limit=0,
+    cull="geom", ws=48, unroll=1, vmem_limit=0, batched=False,
 ):
     C, n_y, n_x = kgrid.shape
     c2 = 2 * C
@@ -224,6 +241,7 @@ def _degrid_pallas_impl(
         mm_dtype=mm_dtype,
         passes=passes,
         unroll=unroll,
+        batched=batched,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -294,5 +312,6 @@ def degrid_radial2d_pallas(
         out = _degrid_pallas_impl(
             kgrid, angles, n, kernwidth, beta, pe_chunk, tile, matmul_dtype,
             interpret, ws=t.ws, unroll=t.unroll, vmem_limit=t.vmem_limit,
+            batched=t.batched,
         )
     return out[0] if squeeze else out

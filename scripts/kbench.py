@@ -28,6 +28,9 @@ def main():
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--check", action="store_true", help="NRMSE vs XLA gridder")
     p.add_argument("--op", default="grid", choices=["grid", "degrid"])
+    p.add_argument("--batched", action="store_true",
+                   help="KernelTuning(batched=True): static-unroll kernels "
+                   "(equivalent to TRON_BATCHED=1 but explicit)")
     args = p.parse_args()
 
     import jax
@@ -38,9 +41,16 @@ def main():
 
     enable_compilation_cache()
 
+    from tron_tpu.config import KernelTuning
     from tron_tpu.kernels.kb import kb_beta
     from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
     from tron_tpu.trajectory import spoke_angles
+
+    tuning = KernelTuning.from_env()
+    if args.batched:
+        import dataclasses
+
+        tuning = dataclasses.replace(tuning, batched=True)
 
     nf, nc, npe, nro = args.frames, args.nc, args.npe, args.nro
     nxos = nro  # oversampled grid == nro for the default gridos=2 geometry
@@ -73,7 +83,7 @@ def main():
                 lambda g, ang: degrid_radial2d_pallas(
                     g, ang, nxos, kernwidth, beta,
                     pe_chunk=args.pe_chunk, tile=args.tile,
-                    matmul_dtype=args.dtype,
+                    matmul_dtype=args.dtype, tuning=tuning,
                 )
             )
         )
@@ -84,6 +94,7 @@ def main():
                     x, ang, nxos, kernwidth, beta,
                     pe_chunk=args.pe_chunk, tile=args.tile,
                     matmul_dtype=args.dtype, windowed=args.windowed,
+                    tuning=tuning,
                 )
             )
         )
@@ -104,7 +115,8 @@ def main():
     msps = nf * nc * npe * nro / dt / 1e6
     print(
         f"frames={nf} windowed={args.windowed} pe_chunk={args.pe_chunk} "
-        f"dtype={args.dtype}: {ms_frame:.3f} ms/frame  {msps:.1f} Msamp/s"
+        f"dtype={args.dtype} batched={tuning.batched}: "
+        f"{ms_frame:.3f} ms/frame  {msps:.1f} Msamp/s"
     )
 
     if args.check:

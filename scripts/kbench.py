@@ -114,8 +114,9 @@ def main():
     ms_frame = dt / nf * 1e3
     msps = nf * nc * npe * nro / dt / 1e6
     print(
-        f"frames={nf} windowed={args.windowed} pe_chunk={args.pe_chunk} "
-        f"dtype={args.dtype} batched={tuning.batched}: "
+        f"op={args.op} frames={nf} windowed={args.windowed} "
+        f"pe_chunk={args.pe_chunk} dtype={args.dtype} "
+        f"batched={tuning.batched}: "
         f"{ms_frame:.3f} ms/frame  {msps:.1f} Msamp/s"
     )
 

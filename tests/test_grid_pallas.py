@@ -280,3 +280,28 @@ def test_batched_with_center_split(rng):
     )
     assert nrmse(split_b, base_b) < 1e-6, nrmse(split_b, base_b)
     assert nrmse(split_b, want) < 1e-5, nrmse(split_b, want)
+
+
+def test_scrub_per_tile_bitwise_identical(rng):
+    """KernelTuning(scrub_per_tile=True) re-gates the one-time operand-
+    scratch scrub on every tile's first chunk step (megacore portability:
+    on v4/v5p Mosaic may split the leading 'parallel' dim across two
+    TensorCores, and the once-per-grid scrub would miss the second core's
+    scratches).  On a single-core schedule the results must be bitwise
+    identical: stale-but-finite U rows are neutralized by zeroed A rows
+    either way, and the extra scrubs only rewrite already-neutralized
+    state.  Covers both the windowed (multi-tile) and seg fallback paths."""
+    from tron_tpu.config import KernelTuning
+
+    nxos = nro = 256
+    data, angles = _case(rng, 2, 12, nro)
+    for windowed in (True, False):
+        base = _run(
+            data, angles, nxos, tile=128, pe_chunk=4, windowed=windowed,
+            tuning=KernelTuning(),
+        )
+        scrubbed = _run(
+            data, angles, nxos, tile=128, pe_chunk=4, windowed=windowed,
+            tuning=KernelTuning(scrub_per_tile=True),
+        )
+        np.testing.assert_array_equal(scrubbed, base)

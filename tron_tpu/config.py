@@ -69,6 +69,14 @@ class KernelTuning:
     # — ops.degrid_pallas._degrid_kernel(batched=True).  Both bitwise-equal
     # to the loop kernels in float32 mode.
     batched: bool = False
+    # megacore portability: re-run the operand-scratch scrub at every tile's
+    # first chunk step (k == 0) instead of once per grid.  The one-time
+    # scrub assumes a single TensorCore executes the whole grid (true on
+    # v5e); on a megacore part (v4/v5p) Mosaic may partition the leading
+    # 'parallel' dim across two cores and the second core's scratches would
+    # miss the init.  Costs ~2% extra scrub store traffic; results are
+    # bitwise-identical (tests/test_grid_pallas.py).
+    scrub_per_tile: bool = False
 
     @classmethod
     def from_env(cls) -> "KernelTuning":
@@ -94,6 +102,9 @@ class KernelTuning:
             koosh_batch=gi("TRON_KOOSH_BATCH", d.koosh_batch),
             center_tile=gi("TRON_CT", d.center_tile),
             batched=gi("TRON_BATCHED", 1 if d.batched else 0) != 0,
+            scrub_per_tile=gi(
+                "TRON_SCRUB_PER_TILE", 1 if d.scrub_per_tile else 0
+            ) != 0,
         )
 
 

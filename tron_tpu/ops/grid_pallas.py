@@ -369,6 +369,7 @@ def _seg_kernel(
     scale: float,
     mm_dtype,
     passes: int = 1,
+    scrub_per_tile: bool = False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -379,11 +380,14 @@ def _seg_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when((i == 0) & (j == 0) & (k == 0))
+    first = (i == 0) & (j == 0) & (k == 0)
+
+    @pl.when((k == 0) if scrub_per_tile else first)
     def _first():
         # one-time scrub: rows beyond a chunk's hit count stay stale in the
         # U scratch (only the matching zeroed A rows neutralize them in the
-        # dot) — so the very first contents must be finite, not NaN garbage
+        # dot) — so the very first contents must be finite, not NaN garbage.
+        # scrub_per_tile: see _win_kernel (megacore portability)
         u_ref[...] = jnp.zeros_like(u_ref)
 
     half = nxos // 2
@@ -557,11 +561,12 @@ def grid_radial2d_pallas(
             interpret, ws=t.ws, tile_y=tile_y, kf=t.kf, unroll=t.unroll,
             vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
             center_tile=t.center_tile, batched=t.batched,
+            scrub_per_tile=t.scrub_per_tile,
         )
     if nxos % tile == 0 and nxos // tile >= 2:
         return _pallas_seg_impl(
             data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret,
+            interpret, scrub_per_tile=t.scrub_per_tile,
         )
     return _pallas_full_impl(
         data, angles, nxos, kernwidth, beta, pe_chunk, min(tile, nxos), matmul_dtype,
@@ -614,6 +619,7 @@ def grid_radial2d_pallas_planes(
         interpret, ws=t.ws, tile_y=ty, planes=True, kf=t.kf, unroll=t.unroll,
         vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
         center_tile=t.center_tile, batched=t.batched,
+        scrub_per_tile=t.scrub_per_tile,
     )
 
 
@@ -655,12 +661,13 @@ def _prep_samples(data, nxos, pe_chunk, angles, layout, kf=1):
     jax.jit,
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
-        "cull",
+        "cull", "scrub_per_tile",
     ),
 )
 def _pallas_seg_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
     cull="geom",  # "geom" | "all" (no angular culling) | "none" (debug: skip all)
+    scrub_per_tile=False,
 ):
     import numpy as np
 
@@ -703,6 +710,7 @@ def _pallas_seg_impl(
         scale=1.0 / (nxos * npe),
         mm_dtype=mm_dtype,
         passes=passes,
+        scrub_per_tile=scrub_per_tile,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -898,6 +906,7 @@ def _win_kernel(
     fuse3: bool = True,
     half_r: int | None = None,
     flat: bool = False,
+    scrub_per_tile: bool = False,
 ):
     """Windowed gridding kernel body.
 
@@ -946,16 +955,20 @@ def _win_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(first)
+    @pl.when((k == 0) if scrub_per_tile else first)
     def _first():
         # one-time scrub: tail slots stay stale in the U scratches and are
         # neutralized by zeroed A rows, but the first contents must be
         # finite (not NaN garbage) for 0*x == 0 to hold.
-        # ASSUMPTION: one TensorCore runs the whole grid (true on v5e, the
-        # target chip).  If Mosaic ever megacore-partitions the leading
-        # 'parallel' dim (v4/v5p), the second core's scratches and hw_ref
-        # would miss this init — gate the scrub on k == 0 (per-tile) before
-        # enabling such parts, at ~2% est. scrub overhead (NOTES.md)
+        # ASSUMPTION (scrub_per_tile=False): one TensorCore runs the whole
+        # grid (true on v5e, the target chip).  On a megacore part (v4/v5p)
+        # Mosaic may partition the leading 'parallel' dim across cores and
+        # the second core's scratches and hw_ref would miss this init —
+        # KernelTuning(scrub_per_tile=True) re-gates the scrub on k == 0
+        # (every tile's first chunk step, so whichever core runs a tile
+        # scrubs its own scratches first) at ~2% scrub-traffic cost;
+        # bitwise-identical results (stale-but-finite U rows are always
+        # neutralized by zeroed A rows either way)
         ul_ref[...] = jnp.zeros_like(ul_ref)
         us_ref[...] = jnp.zeros_like(us_ref)
         if ul2_ref is not None:
@@ -1350,13 +1363,14 @@ def _pack_hits(mask, t2, nch, pe_chunk):
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
         "ws", "tile_y", "planes", "kf", "unroll", "vmem_limit", "vmem_budget",
-        "center_tile", "batched",
+        "center_tile", "batched", "scrub_per_tile",
     ),
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
     ws=48, tile_y=None, planes=False, kf=1, unroll=1, vmem_limit=0,
     vmem_budget=12 * 1024 * 1024, center_tile=0, batched=False,
+    scrub_per_tile=False,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
@@ -1506,9 +1520,13 @@ def _pallas_win_impl(
             flat=tlist is not None,
         )
         if batched:
+            # no operand scratches -> no cross-step scrub state to port
             kern = functools.partial(_win_kernel_batched, **common)
         else:
-            kern = functools.partial(_win_kernel, unroll=unroll, **common)
+            kern = functools.partial(
+                _win_kernel, unroll=unroll, scrub_per_tile=scrub_per_tile,
+                **common,
+            )
         operand_scratch = [
             pltpu.VMEM((rep * pe_chunk * seg_r, txr), mm_dtype),
             pltpu.VMEM((rep * pe_chunk * seg_r, c2 * tyr), mm_dtype),

@@ -169,3 +169,19 @@ def test_shard_walsh_and_none(tmp_path, rng):
         assert main(args + [str(b), "--shard"]) == 0
         assert ra_query(a).dims == ra_query(b).dims
         np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=1e-5)
+
+
+def test_shard_spokes_matches_unsharded(tmp_path, rng):
+    """--shard-spokes (latency-parallel: each frame's profiles split over
+    the 8 virtual devices) must match the plain recon, incl. a spoke count
+    that does not divide the mesh (zero-padding path)."""
+    nc, nro, npe1 = 2, 32, 42
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "8", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--shard-spokes"]) == 0
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=1e-5)

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", action="store_true",
                    help="shard frames across all local devices (adjoint 2D "
                    "recon; single-process mesh via shard_map)")
+    p.add_argument("--shard-spokes", action="store_true",
+                   help="shard each frame's SPOKES across all local devices "
+                   "(adjoint 2D recon; latency-parallel single-frame mode — "
+                   "partial grids psum over a 'spoke' mesh axis)")
     p.add_argument("--stream", action="store_true",
                    help="stream profile windows from disk instead of loading "
                    "the whole acquisition (adjoint 2D recon, nt == 1; the "
@@ -107,6 +111,40 @@ def _recon_sharded_cli(indata, cfg):
     return np.stack(outs, axis=1)  # (nz, nt, [nc,] n, n)
 
 
+def _recon_spoke_sharded_cli(indata, cfg):
+    """Spoke-sharded adjoint recon: every frame's profiles split across all
+    local devices (parallel/spoke.py) — the latency-parallel mode, useful
+    when frames must come out one at a time (e.g. the latest window of a
+    live acquisition) rather than in bulk.
+
+    Frames and repetitions loop host-side; windows are sliced on the host so
+    nothing runs eagerly on the device between the jitted sharded steps."""
+    from tron_tpu.parallel import make_spoke_mesh, recon_window_spoke_sharded
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    nc, nt, nro, npe1 = indata.shape[:4]
+    work, slide, nz = cfg.frame_geometry(nro, npe1)
+    mesh = make_spoke_mesh()
+    outs = []
+    for t in range(nt):
+        d = np.ascontiguousarray(
+            np.transpose(indata.reshape(nc, nt, nro, npe1, -1)[..., 0][:, t], (0, 2, 1))
+        )
+        frames = [
+            to_host(
+                recon_window_spoke_sharded(
+                    to_device(d[:, z * slide : z * slide + work, :]),
+                    cfg,
+                    mesh,
+                    skip=z * slide,
+                )
+            )
+            for z in range(nz)
+        ]
+        outs.append(np.stack(frames, axis=0))  # (nz, [nc,] n, n)
+    return np.stack(outs, axis=1)  # (nz, nt, [nc,] n, n)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -133,10 +171,14 @@ def main(argv=None) -> int:
         matmul_dtype="bf16x3" if args.precision == "accurate" else "bfloat16",
     )
 
-    stream = args.stream and cfg.adjoint and not cfg.koosh and not args.shard
+    stream = (
+        args.stream and cfg.adjoint and not cfg.koosh
+        and not args.shard and not args.shard_spokes
+    )
     if args.stream and not stream:
         why = (
             "--shard" if args.shard
+            else "--shard-spokes" if args.shard_spokes
             else "-3/koosh" if cfg.koosh
             else "forward mode"
         )
@@ -211,6 +253,8 @@ def main(argv=None) -> int:
                 return 1
         elif args.shard and cfg.adjoint and not cfg.koosh:
             out = _recon_sharded_cli(indata, cfg)
+        elif args.shard_spokes and cfg.adjoint and not cfg.koosh:
+            out = _recon_spoke_sharded_cli(indata, cfg)
         else:
             out = recon_radial2d(indata, cfg)
     elapsed = time.perf_counter() - start

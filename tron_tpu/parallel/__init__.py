@@ -1,4 +1,16 @@
 from tron_tpu.parallel import distributed
 from tron_tpu.parallel.mesh import make_mesh, recon_frames_sharded
+from tron_tpu.parallel.spoke import (
+    make_spoke_mesh,
+    nufft_adjoint_spoke_sharded,
+    recon_window_spoke_sharded,
+)
 
-__all__ = ["make_mesh", "recon_frames_sharded", "distributed"]
+__all__ = [
+    "make_mesh",
+    "recon_frames_sharded",
+    "distributed",
+    "make_spoke_mesh",
+    "nufft_adjoint_spoke_sharded",
+    "recon_window_spoke_sharded",
+]

@@ -34,7 +34,12 @@ from tron_tpu.nufft import nufft_adjoint, nufft_forward, sdc_weights
 
 
 def toeplitz_fourier_kernel(
-    angles: jnp.ndarray, cfg: ReconConfig, nro: int, method: str = "auto"
+    angles: jnp.ndarray,
+    cfg: ReconConfig,
+    nro: int,
+    method: str = "auto",
+    npe_total: int | None = None,
+    sample_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fourier multiplier of the Toeplitz-embedded normal operator.
 
@@ -65,11 +70,20 @@ def toeplitz_fourier_kernel(
 
     Readout 0 is weighted out, matching the pair-mode operator convention
     (one sample per spoke at the highest |k|, never gridded).
+
+    ``npe_total``/``sample_mask`` support spoke-sharded CGNR
+    (parallel/spoke.py): when ``angles`` holds only this shard's spokes,
+    the Ram-Lak weights must come from the GLOBAL spoke count and padded
+    spokes are zero-weighted; the per-shard kernels then psum to the global
+    multiplier (t is linear over samples).
     """
     npe = int(angles.shape[0])
     n = nro // 2
     nxos = int(n * cfg.gridos)
-    w = sdc_weights(cfg, nro, npe).at[0].set(0)
+    w = sdc_weights(cfg, nro, npe_total or npe).at[0].set(0)
+    w2d = jnp.broadcast_to(w[None, :], (npe, nro))
+    if sample_mask is not None:
+        w2d = sample_mask.astype(w2d.dtype)[:, None] * w2d
     if method == "auto":
         method = "nufft" if nro == nxos else "exact"
         if method == "exact" and n > 64:
@@ -100,15 +114,13 @@ def toeplitz_fourier_kernel(
         kr = (jnp.arange(nro, dtype=jnp.float32) / nro - 0.5) * nro
         kx = (kr[None, :] * jnp.cos(angles)[:, None]).reshape(-1)
         ky = (kr[None, :] * jnp.sin(angles)[:, None]).reshape(-1)
-        wfull = jnp.broadcast_to(
-            w.astype(jnp.complex64)[None, :], (npe, nro)
-        ).reshape(-1)
+        wfull = w2d.astype(jnp.complex64).reshape(-1)
         t = dtft2_adjoint_chunked(wfull, kx, ky, 2 * n, nro)
     else:
         w2 = (
             jnp.zeros((npe, 2 * nro), jnp.complex64)
             .at[:, ::2]
-            .set(w.astype(jnp.complex64)[None, :])
+            .set(w2d.astype(jnp.complex64))
         )
         # undo the gridder's 1/(nxos'*npe) reference scale at the DOUBLED
         # geometry: nufft_adjoint sees nro' = 2*nro, so n' = nro and
@@ -157,6 +169,9 @@ def cgnr_radial2d(
     rtol: float = 1e-6,
     reduce_axes: tuple = (),
     operators: str = "auto",
+    spoke_axis: str | None = None,
+    npe_total: int | None = None,
+    sample_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """data: (..., npe, nro) -> image estimate (..., n, n).
 
@@ -164,6 +179,16 @@ def cgnr_radial2d(
     required when channels are sharded (inside shard_map), so every shard
     steps with the *global* alpha/beta; the direct analog of a data-parallel
     gradient allreduce.
+
+    ``spoke_axis``/``npe_total``/``sample_mask``: spoke-sharded CGNR
+    (parallel/spoke.py) — ``data``/``angles`` hold only this shard's
+    spokes; every CG vector lives in the replicated image domain, so the
+    ONLY collective is a psum of A^H W (.) over ``spoke_axis`` (and with
+    --toeplitz just one psum of the Fourier multiplier at setup).  The
+    Ram-Lak weights come from the global ``npe_total`` and ``sample_mask``
+    (0/1 per local spoke) zero-weights shard padding.  ``spoke_axis`` must
+    NOT also appear in ``reduce_axes`` — image-domain vectors are already
+    replicated along it.
 
     ``operators``: "pair" uses the explicit fast forward/adjoint kernel pair
     (TPU Pallas path); "transpose" uses jax.linear_transpose of the dense
@@ -185,7 +210,10 @@ def cgnr_radial2d(
     # pair/transpose/toeplitz all solve the identical W-weighted problem —
     # platform-independent solutions, and the Toeplitz kernel (which shares
     # the convention) stays consistent with the RHS A^H W b.
-    w = sdc_weights(cfg, nro, npe).astype(data.dtype).at[0].set(0)
+    assert spoke_axis not in reduce_axes or spoke_axis is None
+    w = sdc_weights(cfg, nro, npe_total or npe).astype(data.dtype).at[0].set(0)
+    if sample_mask is not None:
+        w = sample_mask.astype(data.dtype)[:, None] * w
 
     import dataclasses
 
@@ -210,7 +238,10 @@ def cgnr_radial2d(
 
         def AHW(y):
             out = nufft_adjoint(w * y, angles, cfg, apply_sdc=False)
-            return out * (nxos * npe)  # undo the gridder's reference scale
+            out = out * (nxos * npe)  # undo the gridder's reference scale
+            if spoke_axis is not None:
+                out = jax.lax.psum(out, spoke_axis)
+            return out
 
     else:
         # the Pallas degrid has no transpose rule, so pin the forward to the
@@ -226,10 +257,19 @@ def cgnr_radial2d(
             # A^H z = conj(A^T conj(z)): linear_transpose gives the
             # transpose, conjugation turns it into the adjoint.
             (out,) = fwd_t(jnp.conj(w * y))
-            return jnp.conj(out)
+            out = jnp.conj(out)
+            if spoke_axis is not None:
+                out = jax.lax.psum(out, spoke_axis)
+            return out
 
     if toeplitz:
-        mult = toeplitz_fourier_kernel(angles, cfg, nro)
+        mult = toeplitz_fourier_kernel(
+            angles, cfg, nro, npe_total=npe_total, sample_mask=sample_mask
+        )
+        if spoke_axis is not None:
+            # per-shard kernels sum to the global one (t is linear over
+            # samples); after this the iterations are collective-free
+            mult = jax.lax.psum(mult, spoke_axis)
 
         def normal(x):
             # E^H W E (exact-NUFFT normal operator); its fixed point differs

@@ -197,3 +197,50 @@ def test_spoke_sharded_cgnr_toeplitz(rng):
     angles = spoke_angles(npe, "golden", 0)
     want = np.asarray(cgnr_radial2d(jnp.asarray(data), angles, cfg))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+
+def test_spoke_coil_2d_mesh(rng):
+    """SP x TP: spokes AND coils sharded (4 x 2 mesh).  The coil combine
+    psums over 'coil' on top of the spoke-grid psum."""
+    from tron_tpu.parallel import make_spoke_mesh, recon_window_spoke_sharded
+    from tron_tpu.nufft import nufft_adjoint
+    from tron_tpu.trajectory import spoke_angles
+
+    nro, npe, nc = 32, 44, 4
+    cfg = ReconConfig(golden_angle=True)
+    data = _mkdata(rng, nc, npe, nro)
+
+    mesh = make_spoke_mesh(4, n_coil=2)
+    got = np.asarray(recon_window_spoke_sharded(jnp.asarray(data), cfg, mesh))
+
+    angles = spoke_angles(npe, "golden", 0)
+    coil = nufft_adjoint(jnp.asarray(data), angles, cfg)
+    want = np.asarray(jnp.sqrt(jnp.sum(jnp.abs(coil) ** 2, axis=0)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_spoke_coil_cgnr_and_walsh(rng):
+    """SP x TP with CGNR (coil-psum'd inner products + spoke-psum'd A^H W)
+    and with the Walsh combine (coil all_gather after the sharded step)."""
+    from tron_tpu.parallel import make_spoke_mesh, recon_window_spoke_sharded
+    from tron_tpu.ops.coil import coil_combine_walsh
+    from tron_tpu.solver import cgnr_radial2d
+    from tron_tpu.trajectory import spoke_angles
+
+    nro, npe, nc = 32, 40, 4
+    data = _mkdata(rng, nc, npe, nro)
+    angles = spoke_angles(npe, "golden", 0)
+    mesh = make_spoke_mesh(4, n_coil=2)
+
+    cfg = ReconConfig(golden_angle=True, niter=2, coil_combine="none")
+    got = np.asarray(recon_window_spoke_sharded(jnp.asarray(data), cfg, mesh))
+    want = np.asarray(cgnr_radial2d(jnp.asarray(data), angles, cfg))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+    cfgw = ReconConfig(golden_angle=True, coil_combine="walsh")
+    goth = np.asarray(recon_window_spoke_sharded(jnp.asarray(data), cfgw, mesh))
+    from tron_tpu.nufft import nufft_adjoint
+
+    coil = nufft_adjoint(jnp.asarray(data), angles, cfgw)
+    wanth = np.asarray(coil_combine_walsh(coil, cfgw.walsh_npatch))
+    np.testing.assert_allclose(goth, wanth, rtol=2e-4, atol=1e-5)

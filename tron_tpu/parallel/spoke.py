@@ -10,12 +10,17 @@ FFT epilogue.  This is the radial analog of sequence parallelism — the npe
 profile axis is the long sequence — and realizes SURVEY.md §5.7's note that
 "sequence-like sharding of the npe loop is a psum-reduction over partial
 grids" (the only place a ring-style pattern could ever apply here).
+Optionally the mesh carries a second 'coil' axis (SP x TP), sharding the
+channel batch as well; the coil combine then finishes with the same psum /
+gather collectives as the frame x coil mesh.
 
 Collective budget per frame:
-  * adjoint recon: ONE psum of the (nxos, nxos) coil grids over 'spoke';
+  * adjoint recon: ONE psum of the (nxos, nxos) coil grids over 'spoke'
+    (+ the coil-combine psum when coils are sharded);
   * CGNR ("pair"/"transpose"): one such psum per A^H W (.) application
     (the CG vectors live in the replicated image domain — alphas/betas need
-    no extra reduction);
+    no extra spoke reduction; coil-sharded inner products psum over 'coil'
+    as in parallel/mesh.py);
   * CGNR --toeplitz: ONE psum of the Fourier multiplier at setup, then the
     iterations are collective-free (two chip-local 2n-FFT pairs each).
 
@@ -40,11 +45,20 @@ from tron_tpu.solver import cgnr_radial2d
 from tron_tpu.trajectory import spoke_angles
 
 
-def make_spoke_mesh(ns: int | None = None, devices=None) -> Mesh:
-    """1-D ('spoke',) mesh over the available devices."""
+def make_spoke_mesh(
+    n_spoke: int | None = None, n_coil: int = 1, devices=None
+) -> Mesh:
+    """('spoke',) mesh — or ('spoke', 'coil') when n_coil > 1 — over the
+    available devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    ns = devices.size if ns is None else ns
-    return Mesh(devices[:ns], ("spoke",))
+    if n_spoke is None:
+        n_spoke = devices.size // n_coil
+    assert n_spoke * n_coil <= devices.size, (n_spoke, n_coil, devices.size)
+    if n_coil == 1:
+        return Mesh(devices[:n_spoke], ("spoke",))
+    return Mesh(
+        devices[: n_spoke * n_coil].reshape(n_spoke, n_coil), ("spoke", "coil")
+    )
 
 
 def nufft_adjoint_spoke_sharded(
@@ -85,12 +99,11 @@ def nufft_adjoint_spoke_sharded(
 def _spoke_step(cfg: ReconConfig, mesh: Mesh, nc: int, npe: int, nro: int):
     """Build + jit the spoke-sharded single-frame recon once per
     (config, mesh, shape)."""
-    ns = mesh.shape["spoke"]
-    npad = -(-npe // ns) * ns
+    ncs = mesh.shape.get("coil", 1)
     sos = cfg.coil_combine == "sos"
 
     def worker(d_local, a_local, m_local):
-        # d_local: (nc, npad/ns, nro); a_local/m_local: (npad/ns,)
+        # d_local: (nc/ncs, npad/ns, nro); a_local/m_local: (npad/ns,)
         if cfg.niter > 0:
             coil = cgnr_radial2d(
                 d_local,
@@ -99,23 +112,30 @@ def _spoke_step(cfg: ReconConfig, mesh: Mesh, nc: int, npe: int, nro: int):
                 spoke_axis="spoke",
                 npe_total=npe,
                 sample_mask=m_local,
+                reduce_axes=("coil",) if ncs > 1 else (),
             )
         else:
             coil = nufft_adjoint_spoke_sharded(
                 d_local, a_local, cfg, npe_total=npe, axis_name="spoke"
             )
         if not sos:
-            return coil  # (nc, n, n), replicated (Walsh runs outside)
-        return jnp.sqrt(jnp.sum(jnp.abs(coil) ** 2, axis=0)).astype(coil.dtype)
+            return coil  # (nc/ncs, n, n); Walsh runs outside (coil gather)
+        part = jnp.sum(jnp.abs(coil) ** 2, axis=0)
+        if ncs > 1:
+            part = jax.lax.psum(part, "coil")
+        return jnp.sqrt(part).astype(coil.dtype)
 
+    cspec = "coil" if ncs > 1 else None
     shard = jax.shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(None, "spoke", None), P("spoke"), P("spoke")),
-        out_specs=P(None, None) if sos else P(None, None, None),
+        in_specs=(P(cspec, "spoke", None), P("spoke"), P("spoke")),
+        out_specs=P(None, None) if sos else P(cspec, None, None),
     )
     step = jax.jit(shard)
     if cfg.coil_combine == "walsh":
+        # Walsh needs the full coil covariance: the follow-up jit gathers
+        # the coil shards (GSPMD all_gather), as in parallel/mesh.py
         from tron_tpu.ops.coil import coil_combine_walsh
 
         walsh = jax.jit(lambda ci: coil_combine_walsh(ci, cfg.walsh_npatch))
@@ -130,11 +150,11 @@ def recon_window_spoke_sharded(
     skip: int = 0,
 ) -> jnp.ndarray:
     """One frame window (nc, npe, nro) reconstructed with its spokes sharded
-    over mesh['spoke'] — the low-latency path for a single (or latest)
-    frame.  Returns the combined image (n, n) per cfg.coil_combine ("sos" /
-    "walsh") or coil images (nc, n, n) ("none").  ``skip`` is the window's
-    global profile offset (cfg.skip_angles + frame start), as in
-    trajectory.spoke_angles.
+    over mesh['spoke'] (and channels over mesh['coil'] when present) — the
+    low-latency path for a single (or latest) frame.  Returns the combined
+    image (n, n) per cfg.coil_combine ("sos" / "walsh") or coil images
+    (nc, n, n) ("none").  ``skip`` is the window's global profile offset
+    (cfg.skip_angles + frame start), as in trajectory.spoke_angles.
 
     Matches recon of the unsharded window: gridding is linear over spokes,
     so the partial grids psum to the full one; CGNR solves the identical
@@ -143,13 +163,17 @@ def recon_window_spoke_sharded(
     """
     nc, npe, nro = window.shape
     ns = mesh.shape["spoke"]
+    ncs = mesh.shape.get("coil", 1)
+    assert nc % ncs == 0, f"nc={nc} must divide over coil axis {ncs}"
     npad = -(-npe // ns) * ns
+    scheme = cfg.scheme_for("adjoint")
     # linear schemes derive angles from the GLOBAL npe, so the padded angle
     # array is built here and sharded in (golden angles are index-based and
     # simply continue; padded spokes carry zero data and zero CGNR weight)
-    angles = spoke_angles(npad, cfg.scheme_for("adjoint"), cfg.skip_angles + skip)
-    if cfg.scheme_for("adjoint") != "golden" and npad != npe:
-        angles = spoke_angles(npe, cfg.scheme_for("adjoint"), cfg.skip_angles + skip)
+    if scheme == "golden" or npad == npe:
+        angles = spoke_angles(npad, scheme, cfg.skip_angles + skip)
+    else:
+        angles = spoke_angles(npe, scheme, cfg.skip_angles + skip)
         angles = jnp.concatenate([angles, jnp.zeros(npad - npe, angles.dtype)])
     mask = (jnp.arange(npad) < npe).astype(jnp.float32)
     if npad != npe:

@@ -29,6 +29,10 @@ import tempfile
 import time
 
 
+# runnable without an editable install (as paper_plots.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=64)

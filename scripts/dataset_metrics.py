@@ -15,8 +15,12 @@ Usage: python scripts/dataset_metrics.py IMG.ra --data DATA.ra --nc 6 \
 import argparse
 import csv
 import os
+import sys
 
 import numpy as np
+
+# runnable without an editable install (as paper_plots.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -14,6 +14,12 @@ import time
 
 import numpy as np
 
+import sys
+import os
+
+# runnable without an editable install (as paper_plots.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -171,14 +171,14 @@ def main(argv=None) -> int:
         matmul_dtype="bf16x3" if args.precision == "accurate" else "bfloat16",
     )
 
+    # --stream composes with --shard (each disk block's frame batch runs
+    # through the sharded scheduler); --shard-spokes stays in-memory
     stream = (
-        args.stream and cfg.adjoint and not cfg.koosh
-        and not args.shard and not args.shard_spokes
+        args.stream and cfg.adjoint and not cfg.koosh and not args.shard_spokes
     )
     if args.stream and not stream:
         why = (
-            "--shard" if args.shard
-            else "--shard-spokes" if args.shard_spokes
+            "--shard-spokes" if args.shard_spokes
             else "-3/koosh" if cfg.koosh
             else "forward mode"
         )
@@ -246,8 +246,13 @@ def main(argv=None) -> int:
         if stream:
             from tron_tpu.recon import recon_radial2d_streaming
 
+            smesh = None
+            if args.shard:
+                from tron_tpu.parallel import make_mesh
+
+                smesh = make_mesh(n_frame=len(jax.devices()), n_coil=1)
             try:
-                out = recon_radial2d_streaming(args.infile, cfg)
+                out = recon_radial2d_streaming(args.infile, cfg, mesh=smesh)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1

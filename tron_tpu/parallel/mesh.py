@@ -56,9 +56,11 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
 
     use_planes = cfg.niter == 0 and planes_path_ok(cfg, nro)
 
-    def worker(d_local: jnp.ndarray) -> jnp.ndarray:
+    def worker(d_local: jnp.ndarray, skip0: jnp.ndarray) -> jnp.ndarray:
         # d_local: (nc/ncs, npe1, nro); all frames' windows come from the
-        # replicated-in-'frame' profile stream via dynamic_slice.
+        # replicated-in-'frame' profile stream via dynamic_slice.  skip0 is
+        # the traced global profile offset of d_local[..., 0, :] (nonzero
+        # when the streaming driver feeds blocks of a huge acquisition).
         fid = jax.lax.axis_index("frame")
         per = nzp // nfr
 
@@ -75,7 +77,7 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
             zc = jnp.minimum(z, nz - 1)  # padded tail recomputes last frame
             pe0 = zc * prof_slide
             angles = spoke_angles(
-                npe1work, cfg.scheme_for("adjoint"), cfg.skip_angles + pe0
+                npe1work, cfg.scheme_for("adjoint"), cfg.skip_angles + skip0 + pe0
             )
             if cfg.niter > 0:
                 # CG inner products must be global across the coil shards
@@ -106,7 +108,7 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
     shard = jax.shard_map(
         worker,
         mesh=mesh,
-        in_specs=P("coil", None, None),
+        in_specs=(P("coil", None, None), P()),
         out_specs=(
             P("frame", None, None) if sos else P("frame", "coil", None, None)
         ),
@@ -124,7 +126,7 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
             jax.vmap(lambda ci: coil_combine_walsh(ci, cfg.walsh_npatch)),
             out_shardings=jax.sharding.NamedSharding(mesh, P("frame", None, None)),
         )
-        return lambda d: walsh(step(d))
+        return lambda d, s: walsh(step(d, s))
     return step
 
 
@@ -135,8 +137,14 @@ def recon_frames_sharded(
     npe1work: int,
     prof_slide: int,
     nz: int,
+    skip0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Sharded sliding-window recon. data: (nc, npe1, nro) -> (nz, n, n).
+
+    ``skip0`` is a traced global profile offset of data[..., 0, :] within
+    the full acquisition (recon.recon_frames contract) — the streaming
+    driver feeds overlapping disk blocks through one compiled sharded
+    program by varying it.
 
     Frames are partitioned across the 'frame' axis, channels across 'coil';
     each device reconstructs its local (frames x coils) block and the coil
@@ -153,4 +161,4 @@ def recon_frames_sharded(
     ncs = mesh.shape["coil"]
     assert nc % ncs == 0, f"nc={nc} must divide over coil axis {ncs}"
     step = _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro)
-    return step(data)[:nz]
+    return step(data, jnp.asarray(skip0, jnp.int32))[:nz]

@@ -162,8 +162,15 @@ def recon_radial2d_streaming(
     path,
     cfg: ReconConfig,
     batch_frames: int = 64,
+    mesh=None,
 ) -> np.ndarray:
     """Sliding-window adjoint recon streamed from disk (nt == 1, adjoint).
+
+    ``mesh``: an optional ('frame', 'coil') device mesh — each disk block's
+    frame batch then runs through the sharded scheduler
+    (parallel.recon_frames_sharded) instead of the single-device lax.map,
+    composing the two scale axes: arbitrarily long acquisitions from disk x
+    multi-chip frame data-parallelism.
 
     The reference copies each frame's profile window host->device per frame
     (`src/tron.cu:738-748`); here the acquisition never fully enters host
@@ -221,6 +228,19 @@ def recon_radial2d_streaming(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    if mesh is not None:
+        from tron_tpu.parallel import recon_frames_sharded
+
+        def recon_block(d, pe0):
+            return recon_frames_sharded(
+                d, cfg, mesh, work, slide, bf, jnp.int32(pe0)
+            )
+
+    else:
+
+        def recon_block(d, pe0):
+            return recon_frames(d, cfg, work, slide, bf, jnp.int32(pe0))
+
     outs = [None] * nz
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(load, z0s[0])
@@ -228,7 +248,7 @@ def recon_radial2d_streaming(
             d, pe0 = fut.result()
             if bi + 1 < len(z0s):
                 fut = ex.submit(load, z0s[bi + 1])
-            out = to_host(recon_frames(d, cfg, work, slide, bf, jnp.int32(pe0)))
+            out = to_host(recon_block(d, pe0))
             for i in range(bf):
                 outs[z0 + i] = out[i]
     return np.stack(outs)[:, None]

@@ -69,3 +69,27 @@ def test_stack_of_stars_npe2_8_nt2():
         assert err < 0.4, f"slice {z} lmse={err:.3f}"
     # the second repetition is 2x the first (linearity end-to-end)
     np.testing.assert_allclose(rec[:, 1], 2 * rec[:, 0], rtol=1e-3, atol=1e-5)
+
+
+def test_stack_of_stars_sharded_matches_local(rng):
+    """-3 --shard: kz slices sharded over the 8 virtual devices (incl. a
+    slice count that does not divide the mesh) must match the single-device
+    koosh recon."""
+    import jax
+
+    from tron_tpu.parallel import make_mesh, recon_stack_of_stars_sharded
+
+    n, nzs, nc = 32, 6, 2
+    nro, npe1 = 2 * n, 32
+    d5 = (
+        rng.standard_normal((nc, 1, nro, npe1, nzs))
+        + 1j * rng.standard_normal((nc, 1, nro, npe1, nzs))
+    ).astype(np.complex64)
+    cfg = ReconConfig(
+        koosh=True, adjoint=True, angle_scheme=AngleScheme.LINEAR_HALF
+    )
+    want = recon_radial2d(d5, cfg)
+    mesh = make_mesh(n_frame=8, n_coil=1, devices=jax.devices())
+    got = np.asarray(recon_stack_of_stars_sharded(d5, cfg, mesh))
+    assert got.shape == want.shape == (nzs, 1, n, n)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)

@@ -258,6 +258,13 @@ def main(argv=None) -> int:
                 return 1
         elif args.shard and cfg.adjoint and not cfg.koosh:
             out = _recon_sharded_cli(indata, cfg)
+        elif args.shard and cfg.adjoint and cfg.koosh:
+            # -3 --shard: kz slices are embarrassingly parallel (post-IFFT),
+            # sharded over the 'frame' mesh axis like frames
+            from tron_tpu.parallel import make_mesh, recon_stack_of_stars_sharded
+
+            mesh3 = make_mesh(n_frame=len(jax.devices()), n_coil=1)
+            out = recon_stack_of_stars_sharded(indata, cfg, mesh3)
         elif args.shard_spokes and cfg.adjoint and not cfg.koosh:
             out = _recon_spoke_sharded_cli(indata, cfg)
         else:

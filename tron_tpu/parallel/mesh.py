@@ -162,3 +162,73 @@ def recon_frames_sharded(
     assert nc % ncs == 0, f"nc={nc} must divide over coil axis {ncs}"
     step = _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro)
     return step(data, jnp.asarray(skip0, jnp.int32))[:nz]
+
+
+@functools.lru_cache(maxsize=16)
+def _koosh_sharded_step(cfg2, mesh, work, slide, nzi, nt, nc, npe1, nro, npe2):
+    """Build + jit the slice-sharded koosh adjoint once per (config, mesh,
+    shape).  The kz IFFT mixes all npe2 values per sample, so it runs
+    replicated (cheap: one batched 1-D FFT) and only the per-slice 2D
+    recons shard; a padded tail recomputes the last slice, like the frame
+    scheduler."""
+    from tron_tpu.recon import recon_frames
+
+    nfr = mesh.shape["frame"]
+    per = -(-npe2 // nfr)
+
+    def worker(d_rep):
+        # d_rep: (nt*nc, npe1, nro, npe2), replicated
+        sl = jnp.fft.fftshift(
+            jnp.fft.ifft(jnp.fft.ifftshift(d_rep, axes=-1), axis=-1), axes=-1
+        ) * npe2
+        sl = jnp.moveaxis(sl, -1, 0).reshape(npe2, nt, nc, npe1, nro)
+        fid = jax.lax.axis_index("frame")
+
+        def one(i):
+            z = jnp.minimum(fid * per + i, npe2 - 1)
+            sd = jax.lax.dynamic_index_in_dim(sl, z, axis=0, keepdims=False)
+            return jax.lax.map(
+                lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
+            )  # (nt, nzi, [nc,] n, n)
+
+        return jax.lax.map(one, jnp.arange(per))
+
+    rank = 5 + (1 if cfg2.coil_combine == "none" else 0)
+    shard = jax.shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=P(None, None, None, None),
+        out_specs=P("frame", *([None] * (rank - 1))),
+    )
+
+    def post(out):
+        # (npe2p, nt, nzi, [nc,] n, n) -> (npe2*nzi, nt, [nc,] n, n)
+        out = out[:npe2]
+        out = jnp.moveaxis(out, 2, 1)
+        return out.reshape((npe2 * nzi, nt) + out.shape[3:])
+
+    return jax.jit(lambda d: post(shard(d)))
+
+
+def recon_stack_of_stars_sharded(
+    indata: np.ndarray, cfg: ReconConfig, mesh: Mesh
+) -> np.ndarray:
+    """Slice-sharded 3D stack-of-stars adjoint: the npe2 (kz) slices are
+    embarrassingly parallel after the kz IFFT — like frames — so they shard
+    over the 'frame' mesh axis with zero inter-chip communication.
+    indata: 5-D .ra layout (nc, nt, nro, npe1, npe2); returns
+    (npe2*nzi, nt, [nc,] n, n), matching recon_radial2d's koosh adjoint."""
+    import dataclasses
+
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    cfg2 = dataclasses.replace(cfg, koosh=False, prof_slide=0)
+    nc, nt, nro, npe1, npe2 = indata.shape[:5]
+    work, slide, nzi = cfg2.frame_geometry(nro, npe1)
+    dnp = np.ascontiguousarray(
+        np.transpose(np.asarray(indata), (1, 0, 3, 2, 4))
+    ).reshape(nt * nc, npe1, nro, npe2)
+    step = _koosh_sharded_step(
+        cfg2, mesh, work, slide, nzi, nt, nc, npe1, nro, npe2
+    )
+    return to_host(step(to_device(dnp)))

@@ -150,3 +150,76 @@ def test_recon_frames_sliding_window(rng):
         win = data[:, z * slide : z * slide + work]
         ref = np.asarray(reconstruct_frame(jnp.asarray(win), jnp.asarray(z * slide), cfg))
         np.testing.assert_allclose(out[z], ref, rtol=2e-4, atol=2e-6)
+
+
+def test_recon_frames_incremental_matches_direct(rng):
+    """Telescoping sliding-window path: identical images to recon_frames
+    (fp32 accumulation-order noise only).  Covers many frames so carry
+    drift would show, plus the skip0 streaming offset."""
+    import dataclasses
+
+    from tron_tpu.recon import (
+        incremental_applicable,
+        recon_frames,
+        recon_frames_incremental,
+    )
+
+    nc, nro, npe1 = 3, 32, 92
+    cfg = ReconConfig(
+        adjoint=True, golden_angle=True, data_undersamp=0.5, prof_slide=4,
+        backend="jnp", matmul_dtype="float32",
+    )
+    work, slide, nz = cfg.frame_geometry(nro, npe1)
+    assert (work, slide, nz) == (16, 4, 20)
+    assert incremental_applicable(cfg, work, slide, nz)
+
+    data = (
+        rng.standard_normal((nc, npe1, nro))
+        + 1j * rng.standard_normal((nc, npe1, nro))
+    ).astype(np.complex64)
+    d = jnp.asarray(data)
+    for skip0 in (0, 7):
+        a = np.asarray(recon_frames(d, cfg, work, slide, nz, skip0))
+        b = np.asarray(recon_frames_incremental(d, cfg, work, slide, nz, skip0))
+        assert b.shape == a.shape
+        worst = max(
+            np.linalg.norm(b[z] - a[z]) / np.linalg.norm(a[z]) for z in range(nz)
+        )
+        assert worst < 1e-5, worst
+
+    # non-telescoping cases must be rejected by the gate
+    assert not incremental_applicable(cfg, work, work, 2)        # no overlap
+    assert not incremental_applicable(
+        dataclasses.replace(cfg, golden_angle=False), work, slide, nz
+    )                                                            # linear angles
+    assert not incremental_applicable(
+        dataclasses.replace(cfg, niter=2), work, slide, nz
+    )                                                            # CGNR
+
+
+def test_recon_radial2d_incremental_driver(rng):
+    """cfg.incremental through the host driver: nt > 1, every combine mode,
+    and the silent fallback for a non-applicable (linear-angle) config."""
+    import dataclasses
+
+    from tron_tpu.recon import recon_radial2d
+
+    nc, nt, nro, npe1 = 2, 2, 32, 48
+    data = (
+        rng.standard_normal((nc, nt, nro, npe1, 1))
+        + 1j * rng.standard_normal((nc, nt, nro, npe1, 1))
+    ).astype(np.complex64)
+    base = ReconConfig(
+        adjoint=True, golden_angle=True, data_undersamp=0.5, prof_slide=4,
+        backend="jnp", matmul_dtype="float32",
+    )
+    for combine in ("sos", "walsh", "none"):
+        cfg0 = dataclasses.replace(base, coil_combine=combine)
+        cfg1 = dataclasses.replace(cfg0, incremental=True)
+        a = recon_radial2d(data, cfg0)
+        b = recon_radial2d(data, cfg1)
+        assert np.linalg.norm(b - a) / np.linalg.norm(a) < 1e-5
+
+    cfg_lin = dataclasses.replace(base, golden_angle=False, incremental=True)
+    cfg_lin0 = dataclasses.replace(cfg_lin, incremental=False)
+    assert np.array_equal(recon_radial2d(data, cfg_lin0), recon_radial2d(data, cfg_lin))

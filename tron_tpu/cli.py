@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "Toeplitz-embedded FFT convolution (one precomputed PSF "
                    "kernel per frame; each iteration costs two 2n-FFT pairs "
                    "instead of a degrid+grid)")
+    p.add_argument("--incremental", action="store_true",
+                   help="telescoping sliding-window gridding: advance each "
+                   "frame's k-space grid by a signed 2*slide-spoke delta "
+                   "instead of regridding the whole window (golden-angle "
+                   "adjoint with overlapping windows only; other cases fall "
+                   "back to the direct path)")
     p.add_argument("--shard", action="store_true",
                    help="shard frames across all local devices (adjoint 2D "
                    "recon; single-process mesh via shard_map)")
@@ -163,6 +169,7 @@ def main(argv=None) -> int:
         niter=args.niter,
         toeplitz=args.toeplitz,
         koosh=args.koosh,
+        incremental=args.incremental,
         backend=args.backend,
         angle_scheme=args.scheme,
         sdc=args.sdc,
@@ -170,6 +177,16 @@ def main(argv=None) -> int:
         coil_compress=args.compress,
         matmul_dtype="bf16x3" if args.precision == "accurate" else "bfloat16",
     )
+
+    if args.incremental and (
+        args.shard or args.shard_spokes or not cfg.golden_angle or cfg.niter > 0
+    ):
+        why = (
+            "sharded recon" if (args.shard or args.shard_spokes)
+            else "CGNR (-i)" if cfg.niter > 0
+            else "non-golden-angle scheme"
+        )
+        print(f"note: --incremental ignored ({why} uses the direct path)")
 
     # --stream composes with --shard (each disk block's frame batch runs
     # through the sharded scheduler); --shard-spokes stays in-memory

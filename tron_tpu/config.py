@@ -137,6 +137,17 @@ class ReconConfig:
                                  # instead of a degrid+grid — see
                                  # solver.toeplitz_fourier_kernel)
     koosh: bool = False          # -3 (3D stack handling)
+    incremental: bool = False    # telescoping sliding-window gridding: frame
+                                 # z+1's k-space grid = frame z's grid
+                                 # - (leaving spokes) + (entering spokes), one
+                                 # signed 2*prof_slide-spoke gridding call per
+                                 # frame instead of regridding all npe1work
+                                 # spokes (the reference regrids every window
+                                 # from scratch, src/tron.cu:732-757).  Valid
+                                 # only for the golden-angle scheme (spoke
+                                 # angle depends on the global profile index,
+                                 # src/tron.cu:509) with overlapping windows;
+                                 # other cases fall back to the direct path.
     coil_combine: str = "sos"    # "sos" | "walsh" | "none"
     walsh_npatch: int = 1
     coil_compress: int = 0       # SVD-compress to N virtual coils (0 = off);

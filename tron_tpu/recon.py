@@ -97,6 +97,138 @@ def recon_frames(
     return jax.lax.map(one, jnp.arange(nz), batch_size=min(nz, 8))
 
 
+def incremental_applicable(cfg: ReconConfig, work: int, slide: int, nz: int) -> bool:
+    """True when the telescoping sliding-window path is mathematically valid:
+    plain adjoint recon (no CGNR), golden-angle scheme (the spoke angle is a
+    function of the *global* profile index, `src/tron.cu:509` — linear-angle
+    windows re-index angles per frame and do not telescope), and genuinely
+    overlapping windows."""
+    from tron_tpu.config import AngleScheme
+
+    return (
+        cfg.niter == 0
+        and cfg.scheme_for("adjoint") == AngleScheme.GOLDEN
+        and 0 < slide < work
+        and nz > 1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "npe1work", "prof_slide", "nz"))
+def recon_frames_incremental(
+    data: jnp.ndarray,
+    cfg: ReconConfig,
+    npe1work: int,
+    prof_slide: int,
+    nz: int,
+    skip0: jnp.ndarray | int = 0,
+) -> jnp.ndarray:
+    """Telescoping sliding-window recon. Same contract as recon_frames.
+
+    Gridding is linear over spokes, and under the golden-angle scheme a
+    spoke's angle (hence its entire gridded footprint) depends only on its
+    global profile index — so consecutive frames share work - slide identical
+    spoke contributions.  Instead of regridding all ``work`` spokes per frame
+    (the reference's per-frame loop, `src/tron.cu:732-757`), this path grids
+    the first window once and then advances by one *signed* gridding call of
+    2*slide spokes per frame (leaving spokes weighted -1, entering +1):
+
+        kgrid[z+1] = kgrid[z] - grid(spokes[z*s : z*s+s])
+                              + grid(spokes[z*s+w : z*s+w+s])
+
+    The telescoping cancellation is near-exact even in bf16: a spoke's
+    operand rounding is identical in its entering and leaving calls (same
+    angle, same samples), so only fp32 accumulation-order noise survives
+    (~1e-7/step random walk, measured ~1e-6 over 956 frames).
+
+    Frames run in blocks of 8: one batched delta gridding + an in-block
+    cumulative sum + a batched epilogue per lax.scan step, keeping the same
+    kernel batching as recon_frames.
+    """
+    from tron_tpu.kernels.kb import kb_beta
+    from tron_tpu.nufft import (
+        _adjoint_epilogue,
+        _grid_backend,
+        planes_path_ok,
+        sdc_weights,
+    )
+    from tron_tpu.trajectory import spoke_angles as _angles
+
+    nro = data.shape[-1]
+    n = nro // 2
+    nxos = int(n * cfg.gridos)
+    beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
+    scheme = cfg.scheme_for("adjoint")
+    # SDC weights use the *frame* spoke count (reference parity,
+    # src/tron.cu:405-416) and are applied once, upstream of every call
+    w = sdc_weights(cfg, nro, npe1work).astype(data.dtype)
+    dw = data * w
+
+    if planes_path_ok(cfg, nro):
+        from tron_tpu.ops.grid_pallas import (
+            grid_radial2d_pallas_planes,
+            to_sample_planes,
+        )
+
+        src = to_sample_planes(dw, nro)
+        spoke_axis = 0
+
+        def gridw(win, angles):
+            return grid_radial2d_pallas_planes(
+                win, angles, nxos, cfg.kernwidth, beta,
+                matmul_dtype=cfg.matmul_dtype, tuning=cfg.tuning,
+            )
+
+    else:
+        src = dw                               # (C, npe1, nro)
+        spoke_axis = -2
+        backend = _grid_backend(cfg)
+
+        def gridw(win, angles):
+            return backend(win, angles, nxos, cfg.kernwidth, beta)
+
+    def window(pe0, m):
+        return jax.lax.dynamic_slice_in_dim(src, pe0, m, axis=spoke_axis)
+
+    def angles_of(pe0, m):
+        return _angles(m, scheme, cfg.skip_angles + skip0 + pe0)
+
+    def frame_image(kg):
+        return _combine(_adjoint_epilogue(kg, n, cfg, beta), cfg)
+
+    kg0 = gridw(window(0, npe1work), angles_of(0, npe1work))
+    img0 = frame_image(kg0)
+
+    # every gridding call scales by 1/(nxos * npe_of_call); deltas must carry
+    # the frame scale 1/(nxos * work) instead
+    corr = (2.0 * prof_slide) / npe1work
+
+    def delta(z):
+        pe0 = (z - 1) * prof_slide
+        leave = window(pe0, prof_slide)
+        enter = window(pe0 + npe1work, prof_slide)
+        win = jnp.concatenate([-leave, enter], axis=spoke_axis)
+        ang = jnp.concatenate(
+            [angles_of(pe0, prof_slide), angles_of(pe0 + npe1work, prof_slide)]
+        )
+        return gridw(win, ang) * corr
+
+    nrest = nz - 1
+    bs = min(8, nrest)
+    nblk = -(-nrest // bs)
+
+    def step(kg, b):
+        # tail block clamps to the last frame; its repeated deltas only feed
+        # discarded outputs and the post-scan carry
+        zs = jnp.minimum(1 + b * bs + jnp.arange(bs), nz - 1)
+        deltas = jax.vmap(delta)(zs)           # (bs, C, nxos, nxos)
+        cums = kg[None] + jnp.cumsum(deltas, axis=0)
+        return cums[-1], jax.vmap(frame_image)(cums)
+
+    _, imgs = jax.lax.scan(step, kg0, jnp.arange(nblk))
+    imgs = imgs.reshape((nblk * bs,) + imgs.shape[2:])[:nrest]
+    return jnp.concatenate([img0[None], imgs], axis=0)
+
+
 def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
     """Host-level recon mimicking the reference driver contract.
 
@@ -126,13 +258,18 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
             d = jax.jit(jax.vmap(lambda x: coil_compress(x, cfg.coil_compress)))(dc)
             nc = cfg.coil_compress
             d = d.reshape(nt * nc, npe1, nro)
+        frames_fn = (
+            recon_frames_incremental
+            if cfg.incremental and incremental_applicable(cfg, work, slide, nz)
+            else recon_frames
+        )
         if nt > 1:
             # combine coils per repetition; lax.map (not vmap) so the Pallas
             # kernels are invoked unbatched per repetition
             d = d.reshape(nt, nc, npe1, nro)
-            out = jax.lax.map(lambda dd: recon_frames(dd, cfg, work, slide, nz), d)
+            out = jax.lax.map(lambda dd: frames_fn(dd, cfg, work, slide, nz), d)
             return to_host(jnp.moveaxis(out, 0, 1))  # (nz, nt, n, n)
-        out = recon_frames(d, cfg, work, slide, nz)  # (nz, n, n)
+        out = frames_fn(d, cfg, work, slide, nz)  # (nz, n, n)
         return to_host(out)[:, None]
     else:
         nc, nt, nx, ny, nz = indata.shape[:5]
@@ -237,9 +374,14 @@ def recon_radial2d_streaming(
             )
 
     else:
+        frames_fn = (
+            recon_frames_incremental
+            if cfg.incremental and incremental_applicable(cfg, work, slide, bf)
+            else recon_frames
+        )
 
         def recon_block(d, pe0):
-            return recon_frames(d, cfg, work, slide, bf, jnp.int32(pe0))
+            return frames_fn(d, cfg, work, slide, bf, jnp.int32(pe0))
 
     outs = [None] * nz
     with ThreadPoolExecutor(max_workers=1) as ex:

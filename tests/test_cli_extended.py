@@ -225,3 +225,21 @@ def test_streaming_driver_sharded_blocks(tmp_path, rng):
     want = recon_radial2d(d[..., 0], cfg)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_stream_incremental_matches_in_memory(tmp_path, rng):
+    """--stream --incremental: per-block telescoping (each disk block grids
+    its first window once, then advances by signed spoke deltas with the
+    block's skip0 offset) must match the plain in-memory direct recon."""
+    nc, nro, npe1 = 2, 32, 200
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream", "--incremental"]) == 0
+    ra, rb = ra_read(a), ra_read(b)
+    err = np.linalg.norm(rb - ra) / np.linalg.norm(ra)
+    assert err < 1e-5, err

@@ -55,6 +55,11 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
     from tron_tpu.nufft import nufft_adjoint_planes, planes_path_ok, sdc_weights
 
     use_planes = cfg.niter == 0 and planes_path_ok(cfg, nro)
+    from tron_tpu.recon import incremental_applicable
+
+    use_inc = cfg.incremental and incremental_applicable(
+        cfg, npe1work, prof_slide, nz
+    )
 
     def worker(d_local: jnp.ndarray, skip0: jnp.ndarray) -> jnp.ndarray:
         # d_local: (nc/ncs, npe1, nro); all frames' windows come from the
@@ -71,6 +76,56 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
 
             w = sdc_weights(cfg, nro, npe1work).astype(d_local.dtype)
             planes = to_sample_planes(d_local * w, nro)
+
+        if use_inc:
+            # per-shard telescoping (recon.incremental_scan): each shard's
+            # frame range is contiguous, so it grids its first window once
+            # and advances by signed 2*slide-spoke deltas; the pad tail
+            # reads clamped windows whose outputs the caller slices off
+            from tron_tpu.kernels.kb import kb_beta
+            from tron_tpu.nufft import _adjoint_epilogue, _grid_backend
+            from tron_tpu.recon import incremental_scan
+
+            n = nro // 2
+            nxos = int(n * cfg.gridos)
+            beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
+            scheme = cfg.scheme_for("adjoint")
+            if use_planes:
+                src, spoke_axis = planes, 0
+                from tron_tpu.ops.grid_pallas import grid_radial2d_pallas_planes
+
+                def gridw(win, ang):
+                    return grid_radial2d_pallas_planes(
+                        win, ang, nxos, cfg.kernwidth, beta,
+                        matmul_dtype=cfg.matmul_dtype, tuning=cfg.tuning,
+                    )
+
+            else:
+                w = sdc_weights(cfg, nro, npe1work).astype(d_local.dtype)
+                src, spoke_axis = d_local * w, -2
+                backend = _grid_backend(cfg)
+
+                def gridw(win, ang):
+                    return backend(win, ang, nxos, cfg.kernwidth, beta)
+
+            def window(pe0, m):
+                return jax.lax.dynamic_slice_in_dim(src, pe0, m, axis=spoke_axis)
+
+            def angles_of(pe0, m):
+                return spoke_angles(m, scheme, cfg.skip_angles + skip0 + pe0)
+
+            def frame_image(kg):
+                coilimg = _adjoint_epilogue(kg, n, cfg, beta)
+                if cfg.coil_combine != "sos":
+                    return coilimg
+                part = jnp.sum(jnp.abs(coilimg) ** 2, axis=0)
+                total = jax.lax.psum(part, "coil")
+                return jnp.sqrt(total).astype(coilimg.dtype)
+
+            return incremental_scan(
+                window, angles_of, gridw, frame_image,
+                npe1work, prof_slide, per, z0=fid * per, spoke_axis=spoke_axis,
+            )
 
         def one(i):
             z = fid * per + i

@@ -195,31 +195,52 @@ def recon_frames_incremental(
     def frame_image(kg):
         return _combine(_adjoint_epilogue(kg, n, cfg, beta), cfg)
 
-    kg0 = gridw(window(0, npe1work), angles_of(0, npe1work))
+    return incremental_scan(
+        window, angles_of, gridw, frame_image,
+        npe1work, prof_slide, nz, spoke_axis=spoke_axis,
+    )
+
+
+def incremental_scan(
+    window, angles_of, gridw, frame_image,
+    work: int, slide: int, nframes: int,
+    z0: jnp.ndarray | int = 0, spoke_axis: int = 0,
+) -> jnp.ndarray:
+    """The telescoping scan core, shared by the single-device and the
+    frame-sharded schedulers.  Produces frame_image outputs for frames
+    z0 .. z0 + nframes - 1 (z0 may be a traced per-shard offset).
+
+    ``window(pe0, m)`` slices m spokes at global spoke offset pe0;
+    ``angles_of(pe0, m)`` their angles; ``gridw(win, angles)`` grids them
+    (with the backend's own 1/(nxos*m) scale — deltas re-scale to the
+    frame's 1/work here); ``frame_image(kgrid)`` runs epilogue + combine.
+
+    Frames past the acquisition (a sharded pad tail) read clamped windows —
+    garbage that only reaches outputs the caller discards.
+    """
+    kg0 = gridw(window(z0 * slide, work), angles_of(z0 * slide, work))
     img0 = frame_image(kg0)
+    if nframes == 1:
+        return img0[None]
 
     # every gridding call scales by 1/(nxos * npe_of_call); deltas must carry
     # the frame scale 1/(nxos * work) instead
-    corr = (2.0 * prof_slide) / npe1work
+    corr = (2.0 * slide) / work
 
     def delta(z):
-        pe0 = (z - 1) * prof_slide
-        leave = window(pe0, prof_slide)
-        enter = window(pe0 + npe1work, prof_slide)
+        pe0 = (z - 1) * slide
+        leave = window(pe0, slide)
+        enter = window(pe0 + work, slide)
         win = jnp.concatenate([-leave, enter], axis=spoke_axis)
-        ang = jnp.concatenate(
-            [angles_of(pe0, prof_slide), angles_of(pe0 + npe1work, prof_slide)]
-        )
+        ang = jnp.concatenate([angles_of(pe0, slide), angles_of(pe0 + work, slide)])
         return gridw(win, ang) * corr
 
-    nrest = nz - 1
+    nrest = nframes - 1
     bs = min(8, nrest)
     nblk = -(-nrest // bs)
 
     def step(kg, b):
-        # tail block clamps to the last frame; its repeated deltas only feed
-        # discarded outputs and the post-scan carry
-        zs = jnp.minimum(1 + b * bs + jnp.arange(bs), nz - 1)
+        zs = z0 + 1 + b * bs + jnp.arange(bs)
         deltas = jax.vmap(delta)(zs)           # (bs, C, nxos, nxos)
         cums = kg[None] + jnp.cumsum(deltas, axis=0)
         return cums[-1], jax.vmap(frame_image)(cums)

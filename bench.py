@@ -269,6 +269,10 @@ def main():
             RESULT["vs_baseline"] = round(msps / BASELINE_MSPS, 3)
             RESULT["frames_per_s"] = RESULT.pop("incremental_frames_per_s")
             RESULT["seconds_per_run"] = round(dt, 3)
+            # the incremental section always runs the full NFRAMES workload,
+            # so the frame count must say so even if the direct headline had
+            # fallen back to 64 frames
+            RESULT["frames"] = NFRAMES
             RESULT["headline_mode"] = "incremental"
 
     _attempt("incremental", incremental, RESULT)

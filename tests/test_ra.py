@@ -98,3 +98,30 @@ def test_dims_relabel(tmp_path, rng):
     b = ra_read(p)
     assert b.shape == (2, 3, 4)
     np.testing.assert_array_equal(b.ravel(order="F"), a)
+
+
+def test_big_endian_read_byteswaps(tmp_path):
+    """BE files warn-and-proceed (like the reference's unknown-flag path,
+    src/ra.cu:98-102): data is byte-swapped to native order on read, via
+    both the pure-Python reader and the native binding's fallback."""
+    from tron_tpu.io.ra import RA_FLAG_BIG_ENDIAN
+
+    data = (np.arange(6, dtype=np.complex64) * (1 + 2j)).reshape(3, 2).T
+    header = struct.pack(
+        "<8Q", RA_MAGIC, RA_FLAG_BIG_ENDIAN, 4, 8, data.nbytes, 2, 2, 3
+    )
+    be = data.T.astype(np.dtype(">c8"))
+    p = tmp_path / "be.ra"
+    p.write_bytes(header + be.tobytes())
+
+    with pytest.warns(UserWarning, match="big-endian"):
+        arr = ra_read(p)
+    assert arr.dtype.byteorder in ("=", "<", "|")
+    np.testing.assert_array_equal(arr, data)
+
+    from tron_tpu.io import native
+
+    if native.available():
+        with pytest.warns(UserWarning, match="big-endian"):
+            arr2 = native.ra_read(p)
+        np.testing.assert_array_equal(arr2, data)

@@ -51,7 +51,8 @@ def test_fp16_bitexact_vs_numpy(rng):
         ]
     )
     got = native.f32_to_f16(x)
-    want = x.astype(np.float16)
+    with np.errstate(over="ignore"):  # 65520.0 -> inf is the point of the test
+        want = x.astype(np.float16)
     np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
     back = native.f16_to_f32(want)
     np.testing.assert_array_equal(back, want.astype(np.float32))

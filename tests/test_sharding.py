@@ -58,6 +58,41 @@ def test_coil_only_mesh(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
 
+def test_sharded_incremental_matches_direct(rng):
+    """The per-shard telescoping branch of _sharded_step (use_inc,
+    parallel/mesh.py) — CLI-reachable via --shard --incremental — must match
+    the direct sharded path, including a nonzero skip0 block offset (the
+    --stream --shard composition) and a non-sos combine."""
+    import dataclasses
+
+    nro, npe1, nc = 32, 44, 2
+    cfg = ReconConfig(
+        golden_angle=True, data_undersamp=0.5, prof_slide=4, incremental=True
+    )
+    work, slide, nz = cfg.frame_geometry(nro, npe1)  # work=16, nz=8
+    assert 0 < slide < work and nz > 1  # telescoping actually applies
+    data = _mkdata(rng, nc, npe1, nro)
+
+    mesh = make_mesh(n_frame=4, n_coil=2)
+    for combine in ("sos", "none"):
+        cfg_c = dataclasses.replace(cfg, coil_combine=combine)
+        cfg_d = dataclasses.replace(cfg_c, incremental=False)
+        for skip0 in (0, 13):
+            got = np.asarray(
+                recon_frames_sharded(
+                    jnp.asarray(data), cfg_c, mesh, work, slide, nz,
+                    skip0=jnp.int32(skip0),
+                )
+            )
+            want = np.asarray(
+                recon_frames_sharded(
+                    jnp.asarray(data), cfg_d, mesh, work, slide, nz,
+                    skip0=jnp.int32(skip0),
+                )
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
 def test_sharded_cgnr(rng):
     """CGNR inside the sharded worker (iterative mode, coil psum combine)."""
     nro, npe1, nc = 32, 16, 2

@@ -178,11 +178,13 @@ def main(argv=None) -> int:
         matmul_dtype="bf16x3" if args.precision == "accurate" else "bfloat16",
     )
 
+    # NB: --shard honors --incremental (the frame-sharded scheduler runs a
+    # per-shard telescoping scan, parallel/mesh.py), so no note for it
     if args.incremental and (
-        args.shard or args.shard_spokes or not cfg.golden_angle or cfg.niter > 0
+        args.shard_spokes or not cfg.golden_angle or cfg.niter > 0
     ):
         why = (
-            "sharded recon" if (args.shard or args.shard_spokes)
+            "spoke-sharded recon" if args.shard_spokes
             else "CGNR (-i)" if cfg.niter > 0
             else "non-golden-angle scheme"
         )

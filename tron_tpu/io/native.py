@@ -98,7 +98,12 @@ def ra_read(path, order: str = "F") -> np.ndarray:
     if not ensure_native():
         return _py.ra_read(path, order=order)
     a = _RaNat()
-    _check(_lib.ra_nat_read(os.fspath(path).encode(), ctypes.byref(a)), path)
+    rc = _lib.ra_nat_read(os.fspath(path).encode(), ctypes.byref(a))
+    if rc == -3:
+        # flags the native layer refuses (big-endian byte-swap lives in the
+        # Python reader; compressed raises there with a clear message)
+        return _py.ra_read(path, order=order)
+    _check(rc, path)
     try:
         dims = tuple(a.dims[i] for i in range(a.ndims))
         dtype = _py.eltype_to_dtype(int(a.eltype), int(a.elbyte))

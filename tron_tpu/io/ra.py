@@ -56,7 +56,10 @@ class RaHeader:
 
     @property
     def dtype(self) -> np.dtype:
-        return eltype_to_dtype(self.eltype, self.elbyte)
+        dt = eltype_to_dtype(self.eltype, self.elbyte)
+        if self.flags & RA_FLAG_BIG_ENDIAN:
+            dt = dt.newbyteorder(">")
+        return dt
 
     @property
     def data_offset(self) -> int:
@@ -97,7 +100,12 @@ def _read_header(f) -> RaHeader:
     if flags & RA_FLAG_COMPRESSED:
         raise NotImplementedError("compressed .ra files are not supported")
     if flags & RA_FLAG_BIG_ENDIAN:
-        raise NotImplementedError("big-endian .ra files are not supported")
+        # warn-and-proceed like the reference's unknown-flag path
+        # (`src/ra.cu:98-102`); the data is byte-swapped to native on read
+        warnings.warn(
+            "big-endian RA file; byte-swapping data to native order",
+            stacklevel=3,
+        )
     dims = tuple(int(x) for x in np.frombuffer(f.read(8 * ndims), dtype="<u8"))
     return RaHeader(flags, eltype, elbyte, size, ndims, dims)
 
@@ -130,6 +138,8 @@ def ra_read(
             flat = np.fromfile(f, dtype=dtype, count=count)
     if flat.size != count:
         raise IOError(f"short read: got {flat.size} of {count} elements")
+    if hdr.flags & RA_FLAG_BIG_ENDIAN:
+        flat = flat.astype(flat.dtype.newbyteorder("<"))
     arr = flat.reshape(hdr.dims[::-1])  # C-order over reversed dims
     if order == "F":
         return arr.T  # shape == dims, F-ordered strides, no copy

@@ -243,3 +243,72 @@ def test_stream_incremental_matches_in_memory(tmp_path, rng):
     ra, rb = ra_read(a), ra_read(b)
     err = np.linalg.norm(rb - ra) / np.linalg.norm(ra)
     assert err < 1e-5, err
+
+
+def test_stream_half_output_matches_in_memory(tmp_path, rng):
+    """--stream --half: f16 readback planes landed by region writes must
+    produce the same file as the in-memory --half path (same ties-to-even
+    f32->f16 conversion, device-side vs host-side)."""
+    nc, nro, npe1 = 2, 32, 120
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", "--half", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    ha, hb = ra_query(a), ra_query(b)
+    assert ha.dims == hb.dims and ha.dims[0] == 2  # re/im-pair convention
+    assert ha.dtype == np.float16
+    np.testing.assert_array_equal(ra_read(a), ra_read(b))
+
+
+def test_stream_combine_none_matches_in_memory(tmp_path, rng):
+    """--stream --combine none: the coil axis survives the region writes."""
+    nc, nro, npe1 = 3, 32, 72
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", "--combine", "none", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    assert ra_query(a).dims == ra_query(b).dims == (nc, 1, 16, 16, 15)
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-5, atol=1e-6)
+
+
+def test_stream_nt_gt_1_matches_in_memory(tmp_path, rng):
+    """--stream with nt > 1 repetitions (per-block host loop over one
+    compiled program; the reference's per-frame loop handles any nt,
+    src/tron.cu:738-748)."""
+    nc, nt, nro, npe1 = 2, 3, 32, 72
+    d = (rng.standard_normal((nc, nt, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, nt, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    assert ra_query(a).dims == ra_query(b).dims == (1, nt, 16, 16, 15)
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-5, atol=1e-6)
+
+
+def test_stream_fp16_pair_input(tmp_path, rng):
+    """--stream over a float16 re/im-pair input file (the --half output
+    convention): the stride-aware windowed reader must reconstruct it the
+    same as the in-memory path reading the same file."""
+    nc, nro, npe1 = 2, 32, 72
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    pair = np.stack([d.real, d.imag]).astype(np.float16)  # (2,nc,1,nro,npe1,1)
+    p = tmp_path / "d16.ra"
+    ra_write(pair, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    assert ra_query(a).dims == ra_query(b).dims
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-5, atol=1e-6)

@@ -125,3 +125,43 @@ def test_big_endian_read_byteswaps(tmp_path):
         with pytest.warns(UserWarning, match="big-endian"):
             arr2 = native.ra_read(p)
         np.testing.assert_array_equal(arr2, data)
+
+
+def test_ra_writer_matches_one_shot_write(tmp_path, rng):
+    """RaWriter region writes (in-order, out-of-order, overlapping rewrite)
+    must produce byte-identical files to ra_write."""
+    from tron_tpu.io import RaWriter
+
+    a = (rng.standard_normal((4, 5, 6)) +
+         1j * rng.standard_normal((4, 5, 6))).astype(np.complex64)
+    p1 = tmp_path / "one.ra"
+    ra_write(a, p1)
+    golden = p1.read_bytes()
+    fe = 4 * 5  # elements per frame (dims[-1] is the slowest/frame axis)
+
+    def frame(z):
+        # on-disk order within a frame: dims[0] fastest -> C array (d1, d0)
+        return np.ascontiguousarray(a[:, :, z].T)
+
+    p2 = tmp_path / "inorder.ra"
+    with RaWriter(p2, (4, 5, 6), np.complex64) as w:
+        for z in range(6):
+            w.write_at(z * fe, frame(z))
+    assert p2.read_bytes() == golden
+
+    p3 = tmp_path / "shuffled.ra"
+    with RaWriter(p3, (4, 5, 6), np.complex64) as w:
+        for z in [3, 0, 5, 1, 4, 2, 3]:  # incl. an overlapping rewrite
+            w.write_at(z * fe, frame(z))
+    assert p3.read_bytes() == golden
+
+
+def test_ra_writer_bounds_and_abort(tmp_path):
+    from tron_tpu.io import RaWriter
+
+    p = tmp_path / "w.ra"
+    w = RaWriter(p, (4, 2), np.float32)
+    with pytest.raises(ValueError):
+        w.write_at(6, np.zeros(4, np.float32))  # 6+4 > 8 elements
+    w.abort()
+    assert not p.exists() and not list(tmp_path.glob("*.tmp.*"))

@@ -76,3 +76,53 @@ def test_read_profiles_out_of_range(tmp_path, rng):
     py_write(a, p)
     with pytest.raises(IOError):
         native.ra_read_profiles(p, 4, 10)
+
+
+def test_native_write_region_roundtrip(tmp_path, rng):
+    """ra_nat_write_region pwrites into the payload of a header-carrying
+    file; region reads must see exactly the written bytes."""
+    from tron_tpu.io import RaWriter, ra_read
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    a = rng.standard_normal((8, 3)).astype(np.float32)
+    p = tmp_path / "r.ra"
+    with RaWriter(p, (8, 3), np.float32) as w:
+        assert w._native is None
+        for z in range(3):
+            w.write_at(z * 8, a[:, z])
+        assert w._native is not False  # the native pwrite path was used
+    np.testing.assert_array_equal(ra_read(p), a)
+
+    # out-of-range region must be refused by the native layer
+    import pytest
+
+    from tron_tpu.io.native import ra_write_region
+
+    with pytest.raises(IOError):
+        ra_write_region(p, 8 * 3 * 4 - 2, np.zeros(4, np.float32))
+
+
+def test_read_profiles_pair_and_float(tmp_path, rng):
+    """The stride-aware windowed reader handles float16 re/im-pair files
+    (--half convention) and plain float files, returning complex64."""
+    from tron_tpu.io import ra_write
+
+    b = (rng.standard_normal((3, 1, 8, 10)) +
+         1j * rng.standard_normal((3, 1, 8, 10))).astype(np.complex64)
+    pair = np.stack([b.real, b.imag]).astype(np.float16)
+    p = tmp_path / "pair.ra"
+    ra_write(pair.reshape(2, 3, 1, 8, 10, 1), p)
+    win = native.ra_read_profiles(p, 2, 5)
+    assert win.dtype == np.complex64 and win.shape == (3, 1, 8, 5)
+    want = (b[..., 2:7].real.astype(np.float16).astype(np.float32)
+            + 1j * b[..., 2:7].imag.astype(np.float16).astype(np.float32))
+    np.testing.assert_array_equal(win, want.astype(np.complex64))
+
+    f = rng.standard_normal((3, 1, 8, 10)).astype(np.float32)
+    pf = tmp_path / "float.ra"
+    ra_write(f.reshape(3, 1, 8, 10, 1), pf)
+    win = native.ra_read_profiles(pf, 1, 4)
+    np.testing.assert_array_equal(win, f[..., 1:5].astype(np.complex64))

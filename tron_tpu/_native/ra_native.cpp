@@ -202,4 +202,34 @@ int ra_nat_read_region(const char* path, uint64_t offset, uint64_t count,
   return ok ? 0 : -1;
 }
 
+// Write `count` bytes of the data payload starting at byte `offset` from a
+// caller-provided buffer — the output half of the streaming driver: the
+// writer thread lands each reconstructed frame block into its .ra region
+// while the device computes the next one (the role pinned-memory async D2H
+// + per-frame output copies play in the reference, src/tron.cu:767-781).
+// The file must already carry a valid header (io.ra.RaWriter writes it).
+// Returns 0 ok, -1 io, -2 bad magic, -5 out of range.
+int ra_nat_write_region(const char* path, uint64_t offset, uint64_t count,
+                        const uint8_t* buf) {
+  int fd = open(path, O_RDWR);
+  if (fd < 0) return -1;
+  uint64_t head[6];
+  if (!read_exact(fd, head, sizeof(head))) { close(fd); return -1; }
+  if (head[0] != kMagic) { close(fd); return -2; }
+  uint64_t size = head[4], ndims = head[5];
+  if (offset + count > size) { close(fd); return -5; }
+  off_t pos = static_cast<off_t>(8 * (6 + ndims) + offset);
+  const uint8_t* p = buf;
+  while (count > 0) {
+    size_t want = count < kMaxChunk ? count : kMaxChunk;
+    ssize_t put = pwrite(fd, p, want, pos);
+    if (put <= 0) { close(fd); return -1; }
+    p += put;
+    pos += put;
+    count -= static_cast<uint64_t>(put);
+  }
+  close(fd);
+  return 0;
+}
+
 }  // extern "C"

@@ -151,6 +151,67 @@ def _recon_spoke_sharded_cli(indata, cfg):
     return np.stack(outs, axis=1)  # (nz, nt, [nc,] n, n)
 
 
+def _block_to_disk_order(blk, half: bool):
+    """Reorder one streamed block of frame images into on-disk .ra element
+    order (dims[0] fastest: [pair-of-2,] coil, t, x, y, frame — see the
+    output transposes at the bottom of main(), whose bytes this must match
+    exactly).
+
+    blk: (bf, nt, [nc,] ny, nx) complex64, or (2, bf, nt, [nc,] ny, nx)
+    float16 re/im planes when ``half``.
+    """
+    if half:
+        if blk.ndim == 5:        # (2, bf, nt, ny, nx) -> (bf, y, x, t, 2)
+            return np.ascontiguousarray(blk.transpose(1, 3, 4, 2, 0))
+        # (2, bf, nt, nc, ny, nx) -> (bf, y, x, t, c, 2)
+        return np.ascontiguousarray(blk.transpose(1, 4, 5, 2, 3, 0))
+    if blk.ndim == 4:            # (bf, nt, ny, nx) -> (bf, y, x, t)
+        return np.ascontiguousarray(blk.transpose(0, 2, 3, 1))
+    # (bf, nt, nc, ny, nx) -> (bf, y, x, t, c)
+    return np.ascontiguousarray(blk.transpose(0, 3, 4, 1, 2))
+
+
+def _stream_to_file(args, cfg, hdr, smesh) -> int:
+    """--stream: recon blocks land straight into their region of the output
+    .ra as the device computes the next block (writer thread + RaWriter
+    region writes; the output half of the reference's per-frame async D2H
+    overlap, src/tron.cu:767-781).  Peak host memory is ~2 blocks instead
+    of the whole nz-frame series."""
+    from tron_tpu.io import RaWriter
+    from tron_tpu.io.native import radial_dims
+    from tron_tpu.recon import recon_radial2d_streaming
+
+    nc, nt, nro, npe1, _npe2, _pair = radial_dims(hdr)
+    _, _, nz = cfg.frame_geometry(nro, npe1)
+    n = nro // 2
+    nc_out = nc if cfg.coil_combine == "none" else 1
+    if cfg.coil_combine == "none" and 0 < cfg.coil_compress < nc:
+        nc_out = cfg.coil_compress  # unreachable today (--compress rejected)
+    base_dims = (nc_out, nt, n, n, nz)
+    dims = (2, *base_dims) if args.half else base_dims
+    dtype = np.float16 if args.half else np.complex64
+    frame_elems = int(np.prod(dims[:-1]))
+
+    w = RaWriter(args.outfile, dims, dtype)
+
+    def writer(z0, blk):
+        w.write_at(z0 * frame_elems, _block_to_disk_order(blk, args.half))
+
+    try:
+        recon_radial2d_streaming(
+            args.infile, cfg, mesh=smesh, writer=writer, half=args.half
+        )
+    except ValueError as e:
+        w.abort()
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except BaseException:
+        w.abort()
+        raise
+    w.close()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -263,18 +324,15 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     with prof:
         if stream:
-            from tron_tpu.recon import recon_radial2d_streaming
-
             smesh = None
             if args.shard:
                 from tron_tpu.parallel import make_mesh
 
                 smesh = make_mesh(n_frame=len(jax.devices()), n_coil=1)
-            try:
-                out = recon_radial2d_streaming(args.infile, cfg, mesh=smesh)
-            except ValueError as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 1
+            rc = _stream_to_file(args, cfg, hdr, smesh)
+            if rc != 0:
+                return rc
+            out = None
         elif args.shard and cfg.adjoint and not cfg.koosh:
             out = _recon_sharded_cli(indata, cfg)
         elif args.shard and cfg.adjoint and cfg.koosh:
@@ -290,6 +348,12 @@ def main(argv=None) -> int:
             out = recon_radial2d(indata, cfg)
     elapsed = time.perf_counter() - start
     vprint(f"Elapsed time: {elapsed:.2f} s")
+
+    if out is None:
+        # streaming path: frames were landed into the output file's regions
+        # as they were read back (no full-series host array ever existed)
+        vprint(f"Saved result to {args.outfile}")
+        return 0
 
     if cfg.adjoint:
         if out.ndim == 5:

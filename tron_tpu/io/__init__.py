@@ -1,6 +1,7 @@
 from tron_tpu.io.ra import (
     RA_MAGIC,
     RaHeader,
+    RaWriter,
     ra_read,
     ra_write,
     ra_query,
@@ -12,6 +13,7 @@ from tron_tpu.io.ra import (
 __all__ = [
     "RA_MAGIC",
     "RaHeader",
+    "RaWriter",
     "ra_read",
     "ra_write",
     "ra_query",

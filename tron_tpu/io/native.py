@@ -163,20 +163,46 @@ def f16_to_f32(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def radial_dims(hdr) -> tuple[int, int, int, int, int, bool]:
+    """(nc, nt, nro, npe1, npe2, pair) of a radial .ra header.
+
+    ``pair`` marks the float re/im-pair storage convention (a leading dim
+    of 2, the raread.m trick used by ``--half`` outputs,
+    `src/raread.m:25-57`); plain 5-D files (complex or float) have
+    pair=False."""
+    dims = [int(d) for d in hdr.dims]
+    pair = (
+        len(dims) >= 6
+        and dims[0] == 2
+        and not np.issubdtype(hdr.dtype, np.complexfloating)
+    )
+    base = dims[1:] if pair else dims
+    if len(base) < 4:
+        raise ValueError(f"expected a 5-D radial .ra, got dims {dims}")
+    npe2 = base[4] if len(base) > 4 else 1
+    return base[0], base[1], base[2], base[3], npe2, pair
+
+
 def ra_read_profiles(path, pe0: int, npe: int) -> np.ndarray:
-    """Stream a profile window from a 5-D radial .ra file without loading
-    the whole acquisition: returns (nc, nt, nro, npe) for profiles
+    """Stream a profile window from a radial .ra file without loading the
+    whole acquisition: returns complex (nc, nt, nro, npe) for profiles
     [pe0, pe0+npe) — the windowed loader behind sliding-window recon of
     very large files (the reference's per-frame H2D window copies,
     src/tron.cu:738-748, as a native seek+read).
+
+    Handles complex files, plain float files (promoted), and the float
+    re/im-pair convention of ``--half`` outputs (6-D with a leading dim of
+    2; the pair stride is accounted for in the per-profile seek).
     """
     hdr = _py.ra_query(path)
-    nc, nt, nro = hdr.dims[0], hdr.dims[1], hdr.dims[2]
+    nc, nt, nro, _, _, pair = radial_dims(hdr)
+    unit = 2 if pair else 1
     dtype = hdr.dtype
-    stride = nc * nt * nro * dtype.itemsize        # bytes per profile
+    per = unit * nc * nt * nro                     # elements per profile
+    stride = per * dtype.itemsize                  # bytes per profile
     offset = pe0 * stride
     count = npe * stride
-    out = np.empty(npe * nc * nt * nro, dtype=dtype)
+    out = np.empty(npe * per, dtype=dtype)
     if ensure_native():
         _lib.ra_nat_read_region.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
@@ -192,5 +218,33 @@ def ra_read_profiles(path, pe0: int, npe: int) -> np.ndarray:
             f.seek(hdr.data_offset + offset)
             buf = f.read(count)
         out = np.frombuffer(buf, dtype=dtype).copy()
+    if pair:
+        # on-disk order: re/im fastest, then nc, nt, nro, npe
+        w = out.reshape(npe, nro, nt, nc, 2).astype(np.float32)
+        cplx = (w[..., 0] + 1j * w[..., 1]).astype(np.complex64)
+        return cplx.transpose(3, 2, 1, 0)
     # on-disk order within a profile: nc fastest, then nt, then nro
-    return out.reshape(npe, nro, nt, nc).transpose(3, 2, 1, 0)
+    arr = out.reshape(npe, nro, nt, nc).transpose(3, 2, 1, 0)
+    if not np.issubdtype(dtype, np.complexfloating):
+        arr = arr.astype(np.complex64)
+    return arr
+
+
+def ra_write_region(path, byte_offset: int, buf: np.ndarray) -> bool:
+    """pwrite ``buf`` into the .ra data payload at ``byte_offset`` (the file
+    must already carry its header — io.ra.RaWriter writes it).  Returns
+    False when the native library is unavailable so the caller can fall
+    back to Python file I/O; raises on real I/O errors."""
+    if not ensure_native():
+        return False
+    buf = np.ascontiguousarray(buf)
+    _lib.ra_nat_write_region.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    rc = _lib.ra_nat_write_region(
+        os.fspath(path).encode(), byte_offset, buf.nbytes,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    _check(rc, path)
+    return True

@@ -184,3 +184,77 @@ def ra_convert(arr: np.ndarray, eltype: int, elbyte: int) -> np.ndarray:
     the same algorithm the reference carries in `src/float16.cu:76-324`.
     """
     return np.asarray(arr).astype(eltype_to_dtype(eltype, elbyte))
+
+
+class RaWriter:
+    """Incremental .ra writer: header up front, data landed by region.
+
+    The output half of the streaming recon driver: the writer thread lands
+    each reconstructed frame block into its region of the output file while
+    the device computes the next block — the role the reference's
+    pinned-memory async D2H + per-frame output copies play
+    (`src/tron.cu:767-781`).  Frames are the slowest-varying .ra dimension
+    (dims[0] is fastest), so each frame is one contiguous region.
+
+    Writes go to a temp file; :meth:`close` atomically replaces ``path``
+    (same contract as :func:`ra_write`), :meth:`abort` removes the temp.
+    Region writes route through the native library's pwrite
+    (``ra_nat_write_region``) when available, else ``os.pwrite``.
+    """
+
+    def __init__(self, path: str | os.PathLike, dims: tuple[int, ...], dtype):
+        self.path = os.fspath(path)
+        self.tmp = f"{self.path}.tmp.{os.getpid()}"
+        self.dtype = np.dtype(dtype)
+        if self.dtype.byteorder == ">":
+            raise ValueError("RaWriter writes little-endian files only")
+        eltype, elbyte = dtype_to_eltype(self.dtype)
+        self.dims = tuple(int(d) for d in dims)
+        self.size = int(np.prod(self.dims)) * elbyte
+        header = np.array(
+            [RA_MAGIC, 0, eltype, elbyte, self.size, len(self.dims), *self.dims],
+            dtype="<u8",
+        )
+        self._data0 = header.nbytes
+        self._fd = os.open(self.tmp, os.O_RDWR | os.O_CREAT | os.O_TRUNC, 0o644)
+        os.write(self._fd, header.tobytes())
+        os.truncate(self._fd, self._data0 + self.size)
+        self._native = None  # probed lazily on first write
+
+    def write_at(self, elem_offset: int, arr: np.ndarray) -> None:
+        """Land ``arr`` (already in on-disk element order) at element offset
+        ``elem_offset`` of the data payload."""
+        buf = np.ascontiguousarray(arr, dtype=self.dtype)
+        off = int(elem_offset) * self.dtype.itemsize
+        if off + buf.nbytes > self.size:
+            raise ValueError(
+                f"region [{off}, {off + buf.nbytes}) exceeds payload {self.size}"
+            )
+        if self._native is None:
+            from tron_tpu.io import native as _nat
+
+            self._native = _nat if _nat.available() else False
+        if self._native:
+            self._native.ra_write_region(self.tmp, off, buf)
+        else:
+            os.pwrite(self._fd, memoryview(buf).cast("B"), self._data0 + off)
+
+    def close(self) -> None:
+        os.close(self._fd)
+        os.replace(self.tmp, self.path)
+
+    def abort(self) -> None:
+        os.close(self._fd)
+        try:
+            os.unlink(self.tmp)
+        except FileNotFoundError:
+            pass
+
+    def __enter__(self) -> "RaWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()

@@ -321,8 +321,10 @@ def recon_radial2d_streaming(
     cfg: ReconConfig,
     batch_frames: int = 64,
     mesh=None,
-) -> np.ndarray:
-    """Sliding-window adjoint recon streamed from disk (nt == 1, adjoint).
+    writer=None,
+    half: bool = False,
+) -> np.ndarray | None:
+    """Sliding-window adjoint recon streamed from disk.
 
     ``mesh``: an optional ('frame', 'coil') device mesh — each disk block's
     frame batch then runs through the sharded scheduler
@@ -330,35 +332,49 @@ def recon_radial2d_streaming(
     composing the two scale axes: arbitrarily long acquisitions from disk x
     multi-chip frame data-parallelism.
 
-    The reference copies each frame's profile window host->device per frame
-    (`src/tron.cu:738-748`); here the acquisition never fully enters host
-    memory either: the native windowed reader (io/native.ra_read_profiles)
-    seeks out one block of profiles covering ``batch_frames`` frames at a
-    time, and every block reruns the SAME compiled frame-batch program (the
-    block's global profile offset is a traced scalar).  This is how the
-    reference-scale 500 MB whole-body acquisition (6 x 512 x 20,271) runs
-    end-to-end: ~37 MB of profiles resident per block.
+    The whole pipeline is a 3-stage overlap, the TPU form of the reference's
+    NSTREAMS=2 stream pool with pinned-memory async copies
+    (`src/tron.cu:734-781`):
 
-    Returns (nz, 1, n, n) like recon_radial2d's adjoint path (combined) or
-    (nz, 1, nc, n, n) for coil_combine='none'.
+      * a LOADER thread reads the next block's profile window from disk
+        (io/native.ra_read_profiles — the acquisition never fully enters
+        host RAM) and uploads it, overlapping the current block's compute
+        (the async-H2D half);
+      * the main thread dispatches each block's recon (JAX dispatch is
+        async, so the device runs ahead);
+      * a READER thread pulls the previous block's finished images back to
+        the host while the device computes the current block (the async-D2H
+        half — previously serial, the round-3 wall-time whale).
+
+    ``writer(z0, block)``: optional sink called in block order with the
+    host images of frames [z0, z0+bf) — the CLI lands each block into its
+    region of the output .ra (io.ra.RaWriter) instead of accumulating nz
+    frames in RAM.  Tail blocks realign to nz-bf, so a later call may
+    legally rewrite earlier frames.  When provided, returns None.
+
+    ``half=True`` casts the images to float16 ON DEVICE before readback,
+    halving D2H bytes (tunnel readback time scales with bytes).  Blocks are
+    then delivered / returned as float16 re/im planes stacked on a LEADING
+    axis of 2 — the raread.m pair convention the ``--half`` output format
+    stores anyway.
+
+    Block shapes: (bf, nt, n, n) for combined output, (bf, nt, nc, n, n)
+    for coil_combine='none'; with half, (2, bf, nt, [nc,] n, n) float16.
+    Inputs may be complex, plain float, or float16 re/im-pair files (the
+    stride-aware windowed reader handles all three); repetitions (nt > 1)
+    loop host-side per block, reusing one compiled program.
+
+    Without ``writer``, returns all frames stacked: (nz, nt, [nc,] n, n)
+    complex64, or (2, nz, nt, [nc,] n, n) float16 when half.
     """
     from tron_tpu.io import ra_query
-    from tron_tpu.io.native import ra_read_profiles
+    from tron_tpu.io.native import ra_read_profiles, radial_dims
+    from tron_tpu.utils.xfer import to_host_planes
 
     hdr = ra_query(path)
-    dims = [int(d) for d in hdr.dims]
-    if len(dims) < 4:
-        raise ValueError(f"streaming recon expects a 5-D radial .ra, got {dims}")
-    if not np.issubdtype(hdr.dtype, np.complexfloating):
-        # float inputs (incl. the 6-D re/im-pair fp16 convention of --half)
-        # have a different on-disk profile stride; load them the normal way
-        raise ValueError(
-            "streaming recon requires complex input; re-run without --stream "
-            "for float/fp16 re-im-pair files"
-        )
-    nc, nt, nro, npe1 = dims[0], dims[1], dims[2], dims[3]
-    if nt != 1:
-        raise ValueError("streaming recon supports nt == 1")
+    nc, nt, nro, npe1, npe2, _pair = radial_dims(hdr)
+    if npe2 != 1:
+        raise ValueError("streaming recon supports npe2 == 1 (use -3 for stacks)")
     if not cfg.adjoint or cfg.koosh:
         raise ValueError("streaming recon is adjoint (-a), non-koosh only")
     if 0 < cfg.coil_compress < nc:
@@ -372,16 +388,11 @@ def recon_radial2d_streaming(
     z0s = [min(z0, nz - bf) for z0 in range(0, nz, bf)]
 
     def load(z0):
-        """Disk window -> device upload for one block (runs on the prefetch
-        thread: the next block's read + host->device transfer overlaps the
-        current block's compute — the reference's NSTREAMS=2 async H2D
-        overlap, `src/tron.cu:734-781`, in its TPU form)."""
+        """Disk window -> device upload for one block (loader thread)."""
         pe0 = z0 * slide
         blk = ra_read_profiles(path, pe0, work + (bf - 1) * slide)
-        # (nc, nt, nro, npe) -> (nc, npe, nro)
-        d = np.ascontiguousarray(blk[:, 0].transpose(0, 2, 1))
-        if not np.iscomplexobj(d):
-            d = d.astype(np.complex64)
+        # (nc, nt, nro, npe) -> (nt, nc, npe, nro)
+        d = np.ascontiguousarray(blk.transpose(1, 0, 3, 2))
         return to_device(d), pe0
 
     from concurrent.futures import ThreadPoolExecutor
@@ -389,9 +400,9 @@ def recon_radial2d_streaming(
     if mesh is not None:
         from tron_tpu.parallel import recon_frames_sharded
 
-        def recon_block(d, pe0):
+        def recon_block(d_t, pe0):
             return recon_frames_sharded(
-                d, cfg, mesh, work, slide, bf, jnp.int32(pe0)
+                d_t, cfg, mesh, work, slide, bf, jnp.int32(pe0)
             )
 
     else:
@@ -401,20 +412,53 @@ def recon_radial2d_streaming(
             else recon_frames
         )
 
-        def recon_block(d, pe0):
-            return frames_fn(d, cfg, work, slide, bf, jnp.int32(pe0))
+        def recon_block(d_t, pe0):
+            return frames_fn(d_t, cfg, work, slide, bf, jnp.int32(pe0))
 
-    outs = [None] * nz
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(load, z0s[0])
+    def fetch(dev_outs):
+        """Device block -> host arrays (reader thread; one per repetition).
+        half: f16 re/im planes, (2, bf, nt, ...); else complex64
+        (bf, nt, ...)."""
+        if half:
+            planes = [to_host_planes(o, np.float16) for o in dev_outs]
+            return np.stack(
+                [np.stack([p[0] for p in planes], axis=1),
+                 np.stack([p[1] for p in planes], axis=1)]
+            )
+        return np.stack([to_host(o) for o in dev_outs], axis=1)
+
+    outs = None if writer is not None else [None] * nz
+
+    def drain(z0, fut):
+        blk = fut.result()
+        if writer is not None:
+            writer(z0, blk)
+            return
+        for i in range(bf):
+            # frame axis is axis 0 (plain) or axis 1 (half's leading planes)
+            outs[z0 + i] = blk[:, i] if half else blk[i]
+
+    with ThreadPoolExecutor(max_workers=1) as loader, ThreadPoolExecutor(
+        max_workers=1
+    ) as reader:
+        fut = loader.submit(load, z0s[0])
+        pending = []  # [(z0, readback future)] in block order
         for bi, z0 in enumerate(z0s):
             d, pe0 = fut.result()
             if bi + 1 < len(z0s):
-                fut = ex.submit(load, z0s[bi + 1])
-            out = to_host(recon_block(d, pe0))
-            for i in range(bf):
-                outs[z0 + i] = out[i]
-    return np.stack(outs)[:, None]
+                fut = loader.submit(load, z0s[bi + 1])
+            # dispatch is async: the device starts this block while the
+            # reader thread still streams the previous block's images out
+            dev_outs = [recon_block(d[t], pe0) for t in range(nt)]
+            pending.append((z0, reader.submit(fetch, dev_outs)))
+            while len(pending) > 1:
+                drain(*pending.pop(0))
+        while pending:
+            drain(*pending.pop(0))
+    if writer is not None:
+        return None
+    stacked = np.stack(outs, axis=1 if half else 0)
+    return stacked
 
 
 def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
@@ -434,15 +478,15 @@ def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
     if cfg.adjoint:
         nc, nt, nro, npe1, npe2 = indata.shape[:5]
         work, slide, nzi = cfg2.frame_geometry(nro, npe1)
-        # one 4-D upload (the axon client rejects rank-5), everything else
-        # on device under a single jit: centered kz IFFT (unnormalized,
-        # cuFFT-style), then slices batch through the same frame machinery
-        # frames use — they are embarrassingly parallel, like frames
+        # one 4-D upload (the axon client rejects rank-5); centered kz IFFT
+        # (unnormalized, cuFFT-style) on device, then slice blocks batch
+        # through the frame machinery with PIPELINED readback — they are
+        # embarrassingly parallel, like frames
         dnp = np.ascontiguousarray(
             np.transpose(np.asarray(indata), (1, 0, 3, 2, 4))
         ).reshape(nt * nc, npe1, nro, npe2)
         d = to_device(dnp)
-        return to_host(_koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc))
+        return _koosh_adjoint_pipelined(d, cfg2, work, slide, nzi, nt, nc)
     else:
         nc, nt, nx, ny, nz = indata.shape[:5]
         nro = int(cfg.gridos * nx)
@@ -453,6 +497,97 @@ def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
         imgs = to_device(imgs_np)
         out = to_host(_koosh_forward_device(imgs, cfg2, npe1, nro))
         return out.reshape(nz, nc, nt, npe1, nro)
+
+
+def _koosh_slice_batch(cfg2, nc, nro) -> int:
+    """Slice batch for the koosh lax.map: vmapping the Pallas gridder stacks
+    each batch element's (c2, nxos, nxos) f32 output block on the scoped-vmem
+    stack (16 MB XLA default), so the batch derives from that budget —
+    koosh_batch=0 (default) auto-sizes to half the cap, which reproduces the
+    measured-safe batch of 2 at 256^2 x 12 planes and scales up when
+    tuning.vmem_limit raises the cap.  TRON_KOOSH_BATCH overrides."""
+    t = cfg2.kernel_tuning()
+    bs = t.koosh_batch
+    if bs <= 0:
+        nxos = int((nro // 2) * cfg2.gridos)
+        per_slice_bytes = 2 * nc * nxos * nxos * 4
+        cap = t.vmem_limit or 16 * 1024 * 1024
+        bs = max(1, cap // (2 * per_slice_bytes))
+    return bs
+
+
+@functools.partial(jax.jit, static_argnames=("npe2",))
+def _koosh_kz_ifft(d, npe2):
+    """Centered kz IFFT (unnormalized, cuFFT-style) of the stack-of-stars
+    phase axis; d: (nt*nc, npe1, nro, npe2) -> (npe2, nt*nc, npe1, nro),
+    kept on device for the slice-block pipeline."""
+    sl = jnp.fft.fftshift(
+        jnp.fft.ifft(jnp.fft.ifftshift(d, axes=-1), axis=-1), axes=-1
+    ) * npe2
+    return jnp.moveaxis(sl, -1, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg2", "work", "slide", "nzi", "nt", "nc", "bs", "nb"),
+)
+def _koosh_slice_block(sl, b0, cfg2, work, slide, nzi, nt, nc, bs, nb):
+    """One pipelined block of ``nb`` kz slices starting at traced offset
+    ``b0``: (npe2, nt*nc, npe1, nro) -> (nb, nzi, nt, [nc,] n, n).  All
+    blocks share one compiled program (b0 is traced; the tail realigns)."""
+    blk = jax.lax.dynamic_slice_in_dim(sl, b0, nb, axis=0)
+    blk = blk.reshape(nb, nt, nc, blk.shape[-2], blk.shape[-1])
+
+    def per_slice(sd):                     # (nt, nc, npe1, nro)
+        return jax.lax.map(
+            lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
+        )                                  # (nt, nzi, [nc,] n, n)
+
+    out = jax.lax.map(per_slice, blk, batch_size=min(nb, bs))
+    return jnp.moveaxis(out, 2, 1)         # (nb, nzi, nt, [nc,] n, n)
+
+
+def _koosh_adjoint_pipelined(d, cfg2, work, slide, nzi, nt, nc) -> np.ndarray:
+    """Host driver of the -3 adjoint: kz IFFT on device, then kz-slice
+    blocks reconstructed and read back in a 2-stage pipeline — a reader
+    thread streams block b's images to the host while the device computes
+    block b+1 (the per-frame async D2H overlap of the reference driver,
+    `src/tron.cu:767-781`; previously one serial whole-stack transfer).
+    d: (nt*nc, npe1, nro, npe2) -> (npe2*nzi, nt, [nc,] n, n) host array,
+    identical values to the single-jit _koosh_adjoint_device."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    npe2 = int(d.shape[-1])
+    nro = int(d.shape[-2])
+    sl = _koosh_kz_ifft(d, npe2)
+    bs = _koosh_slice_batch(cfg2, nc, nro)
+    # block = a few readbacks' worth of slices: big enough to amortize the
+    # per-dispatch round trip, small enough that >=2 blocks overlap
+    nb = min(npe2, max(bs, 8))
+    b0s = [min(b0, npe2 - nb) for b0 in range(0, npe2, nb)]
+
+    out = None
+
+    def drain(b0, fut):
+        nonlocal out
+        blk = fut.result()                 # (nb, nzi, nt, [nc,] n, n)
+        blk = blk.reshape((nb * nzi,) + blk.shape[2:])
+        if out is None:
+            out = np.empty((npe2 * nzi,) + blk.shape[1:], blk.dtype)
+        out[b0 * nzi : b0 * nzi + nb * nzi] = blk
+
+    with ThreadPoolExecutor(max_workers=1) as reader:
+        pending = []
+        for b0 in b0s:
+            dev = _koosh_slice_block(
+                sl, jnp.int32(b0), cfg2, work, slide, nzi, nt, nc, bs, nb
+            )
+            pending.append((b0, reader.submit(to_host, dev)))
+            while len(pending) > 1:
+                drain(*pending.pop(0))
+        while pending:
+            drain(*pending.pop(0))
+    return out
 
 
 @functools.partial(
@@ -473,20 +608,7 @@ def _koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc):
             lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
         )                                  # (nt, nzi, n, n)
 
-    # Slice batch: vmapping the Pallas gridder stacks each batch element's
-    # (c2, nxos, nxos) f32 output block on the scoped-vmem stack (16 MB XLA
-    # default), so the batch is derived from that budget — koosh_batch=0
-    # (the default) auto-sizes to half the cap, which reproduces the
-    # measured-safe batch of 2 at 256^2 x 12 planes and scales up when
-    # tuning.vmem_limit raises the cap.  Set tuning.koosh_batch (env
-    # TRON_KOOSH_BATCH) to override.
-    t = cfg2.kernel_tuning()
-    bs = t.koosh_batch
-    if bs <= 0:
-        nxos = int((nro // 2) * cfg2.gridos)
-        per_slice_bytes = 2 * nc * nxos * nxos * 4
-        cap = t.vmem_limit or 16 * 1024 * 1024
-        bs = max(1, cap // (2 * per_slice_bytes))
+    bs = _koosh_slice_batch(cfg2, nc, nro)  # vmem-derived, see the helper
     out = jax.lax.map(per_slice, sl, batch_size=min(npe2, bs))
     # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
     return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])

@@ -16,6 +16,8 @@ works fine.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,11 @@ def _combine(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def _split(a: jnp.ndarray):
     return jnp.real(a), jnp.imag(a)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _split_cast(a: jnp.ndarray, dtype):
+    return jnp.real(a).astype(dtype), jnp.imag(a).astype(dtype)
 
 
 def to_device(x: np.ndarray) -> jax.Array:
@@ -53,3 +60,13 @@ def to_host(a: jax.Array) -> np.ndarray:
         out.imag = np.asarray(im)
         return out
     return np.asarray(a)
+
+
+def to_host_planes(a: jax.Array, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
+    """Complex device array -> (re, im) host planes cast ON DEVICE to
+    ``dtype`` before the transfer.  ``dtype=float16`` halves device->host
+    bytes — the readback analog of the reference's fp16 storage path
+    (`src/float16.cu`), used by the streaming driver's ``--half`` readback
+    (measured: tunnel D2H time scales with bytes, so f16 is ~2x)."""
+    re, im = _split_cast(a, jnp.dtype(dtype))
+    return np.asarray(re), np.asarray(im)

@@ -156,3 +156,66 @@ def test_pallas_degrid_batched_matches_loop(rng, mm):
         np.testing.assert_array_equal(batched, loop)
     else:
         assert nrmse(batched, loop) < 1e-5, nrmse(batched, loop)
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_pallas_degrid_nondefault_gridos(rng, gridos):
+    """gridos != 2: sample radii live on the affine row lattice
+    (radius = (ro - nro/2) * nxos/nro, the reference's exact forward
+    geometry at any osf, src/tron.cu:553-556).  Kernel vs the dense
+    backend on the interior (clip vs wrap differ only at the edges,
+    ~kw*nro/nxos readouts here)."""
+    nro = 256
+    nxos = int((nro // 2) * gridos)  # 192 / 320 -- not tileable at 128
+    # use a 512-readout geometry so the grid tiles: n image 256
+    nro = 512
+    nxos = int((nro // 2) * gridos)  # 384 / 640
+    beta = kb_beta(2.0, gridos)
+    g = (rng.standard_normal((1, nxos, nxos))
+         + 1j * rng.standard_normal((1, nxos, nxos))).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(9, AngleScheme.GOLDEN, 3))
+    want = np.asarray(
+        degrid_radial2d(jnp.asarray(g), angles, nro, 2.0, beta,
+                        backend="dense", wrap=False)
+    )
+    got = np.asarray(
+        dp.degrid_radial2d_pallas(
+            jnp.asarray(g), angles, nro, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    ekw = int(np.ceil(2.0 * nro / nxos)) + 2
+    ro = np.arange(nro)
+    m = (ro >= ekw) & (ro < nro - ekw) & (ro != 0)
+    err = nrmse(got[..., m], want[..., m])
+    assert err < 2e-4, f"pallas degrid at gridos={gridos} nrmse={err:.2e}"
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_wrap_patch_nondefault_gridos(rng, gridos):
+    """The wrap-edge patch at gridos != 2 (scaled edge-readout count): the
+    clip-mode kernel output plus the exact wrapped patch must equal the
+    dense wrap backend at EVERY readout — full spokes, no interior mask."""
+    from tron_tpu.nufft import _patch_degrid_wrap_edges
+
+    nro = 512
+    nxos = int((nro // 2) * gridos)  # 384 / 640
+    beta = kb_beta(2.0, gridos)
+    g = (rng.standard_normal((1, nxos, nxos))
+         + 1j * rng.standard_normal((1, nxos, nxos))).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(6, AngleScheme.GOLDEN, 1))
+    clip = dp.degrid_radial2d_pallas(
+        jnp.asarray(g), angles, nro, 2.0, beta, pe_chunk=4,
+        matmul_dtype="float32", interpret=True,
+    )
+    got = np.asarray(
+        _patch_degrid_wrap_edges(
+            clip, jnp.asarray(g), angles, nro, 2.0, beta, precision="highest"
+        )
+    )
+    want = np.asarray(
+        degrid_radial2d(jnp.asarray(g), angles, nro, 2.0, beta,
+                        backend="dense", wrap=True)
+    )
+    err = nrmse(got, want)
+    assert err < 2e-4, f"wrap patch at gridos={gridos} nrmse={err:.2e}"

@@ -305,3 +305,115 @@ def test_scrub_per_tile_bitwise_identical(rng):
             tuning=KernelTuning(scrub_per_tile=True),
         )
         np.testing.assert_array_equal(scrubbed, base)
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_windowed_kernel_nondefault_gridos(rng, gridos):
+    """gridos != 2 (non-identity readout->grid radius map, src/tron.cu:517)
+    must stay on the windowed MXU kernel — parity vs the jnp gridder at
+    osf 1.5 (nxos=384, 3x3 tiles) and 2.5 (nxos=640, 5x5 tiles)."""
+    nro = 512
+    nxos = int((nro // 2) * gridos)
+    assert nxos % 128 == 0 and nxos // 128 >= 2  # tileable: kernel, not dense
+    data, angles = _case(rng, 1, 7, nro)
+    want = np.asarray(grid_radial2d(data, angles, nxos, 2.0, kb_beta(2.0, gridos)))
+    got = _run(data, angles, nxos, tile=128, pe_chunk=4)
+    err = nrmse(got, want)
+    assert err < 1e-5, f"windowed kernel at gridos={gridos} nrmse={err:.2e}"
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_planes_path_nondefault_gridos(rng, gridos):
+    """The hoisted sample-plane fast path at gridos != 2: to_sample_planes
+    performs the radius-map resample, so the planes gridder must match the
+    complex-input kernel exactly."""
+    import dataclasses
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import planes_path_ok
+
+    nro = 512
+    nxos = int((nro // 2) * gridos)
+    cfg = ReconConfig(golden_angle=True, adjoint=True, gridos=gridos,
+                      backend="pallas")
+    assert planes_path_ok(cfg, nro)
+    data, angles = _case(rng, 1, 6, nro)
+    beta = kb_beta(2.0, gridos)
+    want = np.asarray(
+        grid_pallas.grid_radial2d_pallas(
+            data, angles, nxos, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    planes = grid_pallas.to_sample_planes(data, nxos)
+    got = np.asarray(
+        grid_pallas.grid_radial2d_pallas_planes(
+            planes, angles, nxos, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.0, 2.5])
+def test_exact_lattice_gridder_matches_dense(rng, gridos):
+    """grid_radial2d_pallas_exact (raw readout rows at exact radii) vs the
+    dense raw_rows gridder; at gridos=2 it must also equal the default
+    resampled path (identity radius map)."""
+    nro = 512
+    nxos = int((nro // 2) * gridos)
+    beta = kb_beta(2.0, gridos)
+    data, angles = _case(rng, 1, 6, nro)
+    # readout 0 (|radius| = nxos/2, at/beyond the band clamp) is never
+    # gridded by the kernel convention — the solver weights it out; the
+    # dense raw_rows oracle has no such clamp, so zero it for the compare
+    data = data.at[..., 0].set(0)
+    want = np.asarray(
+        grid_radial2d(data, angles, nxos, 2.0, beta, raw_rows=True)
+    )
+    got = np.asarray(
+        grid_pallas.grid_radial2d_pallas_exact(
+            data, angles, nxos, 2.0, beta, pe_chunk=4,
+            matmul_dtype="float32", interpret=True,
+        )
+    )
+    err = nrmse(got, want)
+    assert err < 1e-5, f"exact-lattice gridder at gridos={gridos} nrmse={err:.2e}"
+    if gridos == 2.0:
+        # identity radius map: the exact-lattice path must equal the
+        # default resampled path bit-for-bit-ish
+        default = np.asarray(
+            grid_pallas.grid_radial2d_pallas(
+                data, angles, nxos, 2.0, beta, pe_chunk=4,
+                matmul_dtype="float32", interpret=True,
+            )
+        )
+        assert nrmse(got, default) < 1e-6
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_exact_pair_adjointness(rng, gridos):
+    """Dot test: the exact-lattice Pallas gridder is the transpose of the
+    generalized Pallas degrid at gridos != 2 (the CGNR pair contract)."""
+    from tron_tpu.ops.degrid_pallas import degrid_radial2d_pallas
+
+    nro = 512
+    nxos = int((nro // 2) * gridos)
+    beta = kb_beta(2.0, gridos)
+    angles = jnp.asarray(spoke_angles(5, AngleScheme.GOLDEN, 2))
+    x = (rng.standard_normal((1, nxos, nxos))
+         + 1j * rng.standard_normal((1, nxos, nxos))).astype(np.complex64)
+    y = (rng.standard_normal((1, 5, nro))
+         + 1j * rng.standard_normal((1, 5, nro))).astype(np.complex64)
+    Ax = degrid_radial2d_pallas(
+        jnp.asarray(x), angles, nro, 2.0, beta, pe_chunk=4,
+        matmul_dtype="float32", interpret=True,
+    )
+    AHy = grid_pallas.grid_radial2d_pallas_exact(
+        jnp.asarray(y), angles, nxos, 2.0, beta, pe_chunk=4,
+        matmul_dtype="float32", interpret=True,
+    ) * (nxos * 5)  # undo the gridder's reference 1/(nxos*npe) scale
+    lhs = complex(jnp.vdot(jnp.asarray(y), Ax))
+    rhs = complex(jnp.vdot(AHy, jnp.asarray(x)))
+    rel = abs(lhs - rhs) / abs(rhs)
+    assert rel < 1e-4, f"pair dot test at gridos={gridos}: rel={rel:.2e}"

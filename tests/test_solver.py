@@ -164,3 +164,27 @@ def test_cgnr_toeplitz_matches_operator_mode():
     e_adj = lmse(np.asarray(nufft_adjoint(data, angles, cfg)), img)
     e_tp = lmse(x_tp, img)
     assert e_tp < e_adj, f"toeplitz CGNR ({e_tp:.3f}) should beat adjoint ({e_adj:.3f})"
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_cgnr_operator_pair_nondefault_gridos(rng, gridos):
+    """Pair mode at gridos != 2: the adjoint resamples readouts onto the
+    grid-radius lattice, so the pair forward is the lattice degrid followed
+    by the resample transpose (solver.py).  Its CGNR must track the
+    exact-transpose mode and beat the plain adjoint."""
+    n, npe = 24, 20
+    cfg = ReconConfig(angle_scheme=AngleScheme.LINEAR_HALF, gridos=gridos)
+    img = shepp_logan(n)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.LINEAR_HALF))
+    # synthesize at the ACQUISITION readout count (nro = 2n); nufft_forward's
+    # default nro=nxos would shrink the solver's geometry at gridos != 2
+    data = nufft_forward(jnp.asarray(img), angles, cfg, nro=2 * n)
+    xt = np.asarray(cgnr_radial2d(data, angles, cfg, niter=6, operators="transpose"))
+    xp = np.asarray(cgnr_radial2d(data, angles, cfg, niter=6, operators="pair"))
+    err = np.linalg.norm(xp - xt) / np.linalg.norm(xt)
+    assert err < 0.15, f"pair vs transpose CGNR at gridos={gridos} nrmse={err:.2e}"
+    from tron_tpu.nufft import nufft_adjoint
+    from tests.conftest import lmse
+
+    adj = np.asarray(nufft_adjoint(data, angles, cfg))
+    assert lmse(xp, img) < lmse(adj, img)

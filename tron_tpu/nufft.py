@@ -115,14 +115,58 @@ def _adjoint_epilogue(kgrid, n, cfg, beta):
     return img
 
 
-def planes_path_ok(cfg: ReconConfig, nro: int) -> bool:
-    """True when the hoisted sample-plane fast path applies: Pallas windowed
-    gridder (TPU), identity radius map (nro == nxos, the gridos=2 default)
-    and a tileable grid.  Used by recon_frames to lift the per-frame sample
-    relayout out of the frame loop."""
+def nufft_adjoint_exact(
+    data: jnp.ndarray,
+    angles: jnp.ndarray,
+    cfg: ReconConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-lattice adjoint: grids every readout at its exact radius
+    instead of the reference's trunc-resample (`src/tron.cu:517`), making
+    it the precise adjoint of the forward degrid at ANY gridos — the
+    A^H the CGNR operator pair needs when gridos != 2 (identical to
+    nufft_adjoint(apply_sdc=False) at the default gridos=2).  No SDC is
+    applied (the solver supplies its own weights).  Pallas windowed
+    kernel when the grid tiles, dense exact-lattice gridder otherwise."""
+    npe, nro = data.shape[-2:]
     n = nro // 2
     nxos = int(n * cfg.gridos)
-    if nxos != nro or nxos % 128 != 0 or nxos // 128 < 2:
+    beta = kb_beta(cfg.kernwidth, cfg.gridos, cfg.beatty)
+    batch = data.shape[:-2]
+    flat = data.reshape((-1,) + data.shape[-2:])
+    use_pallas = (
+        cfg.backend in ("pallas", "auto")
+        and (cfg.backend == "pallas" or _on_tpu())
+        and nxos % 128 == 0
+        and nxos // 128 >= 2
+    )
+    if use_pallas:
+        from tron_tpu.ops.grid_pallas import grid_radial2d_pallas_exact
+
+        kgrid = grid_radial2d_pallas_exact(
+            flat, angles, nxos, cfg.kernwidth, beta,
+            matmul_dtype=cfg.matmul_dtype, interpret=interpret,
+            tuning=cfg.tuning,
+        )
+    else:
+        kgrid = grid_radial2d(
+            flat, angles, nxos, cfg.kernwidth, beta, pe_chunk=cfg.pe_chunk,
+            raw_rows=True,
+        )
+    kgrid = kgrid.reshape(batch + (nxos, nxos))
+    return _adjoint_epilogue(kgrid, n, cfg, beta)
+
+
+def planes_path_ok(cfg: ReconConfig, nro: int) -> bool:
+    """True when the hoisted sample-plane fast path applies: Pallas windowed
+    gridder (TPU) and a tileable grid.  Non-identity radius maps (gridos !=
+    2) are fine — to_sample_planes performs the readout->grid-radius
+    resample (`src/tron.cu:517`) as part of the hoisted prep.  Used by
+    recon_frames to lift the per-frame sample relayout out of the frame
+    loop."""
+    n = nro // 2
+    nxos = int(n * cfg.gridos)
+    if nxos % 128 != 0 or nxos // 128 < 2:
         return False
     if cfg.backend == "pallas":
         return True
@@ -165,8 +209,12 @@ def _patch_degrid_wrap_edges(
     from tron_tpu.kernels.kb import kb_kernel
 
     n = kgrid.shape[-1]
-    ekw = int(np.ceil(kernwidth)) + 1
-    idx = np.r_[0 : ekw + 1, n - ekw - 1 : n]
+    # a readout crosses the grid edge when its |radius| (in grid units,
+    # n/nro per readout step) is within kernwidth of n/2: the first/last
+    # ~kernwidth*nro/n readouts of each spoke
+    ekw = int(np.ceil(kernwidth * nro / n)) + 1
+    idx = np.r_[0 : min(ekw + 1, nro) , max(nro - ekw - 1, 0) : nro]
+    idx = np.unique(idx)
     kr = (idx.astype(np.float32) / nro - 0.5) * n
     ct = jnp.cos(angles).astype(jnp.float32)
     st = jnp.sin(angles).astype(jnp.float32)
@@ -219,7 +267,7 @@ def nufft_forward(
         if cfg.deapodize:
             x = deapodize(x, nxos, cfg.kernwidth, beta)
         kgrid = centered_fft2(x)
-    if cfg.backend in ("pallas", "auto") and nro == nxos:
+    if cfg.backend in ("pallas", "auto") and nro % 2 == 0:
         try:
             if cfg.backend == "pallas" or _on_tpu():
                 from tron_tpu.ops.degrid_pallas import degrid_radial2d_pallas

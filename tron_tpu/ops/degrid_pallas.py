@@ -11,11 +11,15 @@ segment accumulates contributions from every tile its KB footprint touches
 segments, angle-sorted spoke hit lists and dynamic-bound loops as the
 adjoint kernel; no gather, no scatter, deterministic.
 
-Requires nro == nxos (the default gridos=2 geometry, where sample radii are
-integers — `src/tron.cu:945`); other ratios dispatch to the dense XLA
-backend.  Like the gridding kernel (and unlike the gather/dense degrid
-backends) the KB footprint is clipped at the grid boundary rather than
-wrapped — the two conventions differ only on the outermost ~kw readouts.
+Sample radii live on an affine radial lattice: output row u of a spoke sits
+at grid-units radius (u - nro/2) * (nxos/nro) — the exact per-sample radii
+of the reference's forward kernel (`src/tron.cu:553-556`) at ANY grid
+oversampling, integer grid radii in the default gridos=2 case.  The radius
+segments / chord windows are built in row units via the shared table
+builders' ``row_scale``.  Like the gridding kernel (and unlike the
+gather/dense degrid backends) the KB footprint is clipped at the grid
+boundary rather than wrapped — the two conventions differ only on the
+outermost ~kw/row_scale readouts.
 """
 
 from __future__ import annotations
@@ -52,6 +56,8 @@ def _degrid_kernel(
     *,
     pe_chunk: int,
     nxos: int,
+    nro: int,
+    row_scale: float,
     seg: int,
     ws: int,
     tiles: int,
@@ -69,6 +75,7 @@ def _degrid_kernel(
     i = pl.program_id(1)
     j = pl.program_id(2)
     nch = pl.num_programs(0)
+    hr = nro // 2  # radius-row half (row u <-> radius (u - hr) * row_scale)
 
     @pl.when((i == 0) & (j == 0))
     def _init():
@@ -108,8 +115,8 @@ def _degrid_kernel(
             ct = ct_ref[k * pe_chunk + slot]
             st = st_ref[k * pe_chunk + slot]
             rwin = (
-                jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - half
-            ).astype(jnp.float32)
+                jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - hr
+            ).astype(jnp.float32) * row_scale
             A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)   # (WIN, TX)
             B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)   # (WIN, TY)
             # V[r, (c, y)] = sum_x A[r, x] * G[(c, y), x]
@@ -182,24 +189,28 @@ def _degrid_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
-        "cull", "ws", "unroll", "vmem_limit", "batched",
+        "nxos", "nro", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype",
+        "interpret", "cull", "ws", "unroll", "vmem_limit", "batched",
     ),
 )
 def _degrid_pallas_impl(
-    kgrid, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
-    cull="geom", ws=48, unroll=1, vmem_limit=0, batched=False,
+    kgrid, angles, nxos, nro, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+    interpret, cull="geom", ws=48, unroll=1, vmem_limit=0, batched=False,
 ):
     C, n_y, n_x = kgrid.shape
     c2 = 2 * C
     npe = angles.shape[0]
-    nro = nxos
+    # affine radial lattice: row u <-> radius (u - nro/2) * row_scale; the
+    # default gridos=2 geometry has row_scale == 1 (integer grid radii)
+    row_scale = nxos / nro
     tiles = nxos // tile
-    starts, nonempty, seg, _ = _tile_segments(nxos, tile, kernwidth)
+    starts, nonempty, seg, _ = _tile_segments(
+        nxos, tile, kernwidth, nR=nro, row_scale=row_scale
+    )
     # same clamp as the grid side: short-window starts at [hr, nR-ws] must
     # never cross r = 0 into the other sign's rows (an unclamped ws on small
     # grids inverts the clip in _chord_tables and double-counts near origin)
-    ws = min(ws, nxos // 2)
+    ws = min(ws, nro // 2)
 
     passes = {"bf16x3": 3, "bf16x2": 2}.get(matmul_dtype, 1)
     mm_dtype = jnp.float32 if matmul_dtype == "float32" else jnp.bfloat16
@@ -218,7 +229,8 @@ def _degrid_pallas_impl(
     ct = jnp.cos(angles_s).astype(jnp.float32)
     st = jnp.sin(angles_s).astype(jnp.float32)
     cnt_l, hl_l, cnt_s, hl_s, w0s = _chord_tables(
-        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe
+        angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe,
+        nR=nro, row_scale=row_scale,
     )
     seg_starts = jnp.asarray(starts.reshape(-1), jnp.int32)
 
@@ -230,6 +242,8 @@ def _degrid_pallas_impl(
         _degrid_kernel,
         pe_chunk=pe_chunk,
         nxos=nxos,
+        nro=nro,
+        row_scale=row_scale,
         seg=seg,
         ws=ws,
         tiles=tiles,
@@ -293,15 +307,16 @@ def degrid_radial2d_pallas(
 ) -> jnp.ndarray:
     """kgrid (C, n, n) or (n, n) complex -> samples (C, npe, nro).
 
-    Falls back to the dense XLA backend when the geometry doesn't fit the
-    kernel (nro != nxos, or grid too small to tile).  ``tuning`` is a
+    Any even nro runs on the MXU kernel (sample radii live on the affine
+    row lattice, exact at every gridos); only grids too small to tile (or
+    an odd nro) fall back to the dense XLA backend.  ``tuning`` is a
     config.KernelTuning (None = defaults + TRON_* env overrides).
     """
     squeeze = kgrid.ndim == 2
     if squeeze:
         kgrid = kgrid[None]
     n = kgrid.shape[-1]
-    if nro != n or n % tile != 0 or n // tile < 2:
+    if nro % 2 != 0 or n % tile != 0 or n // tile < 2:
         from tron_tpu.ops.degrid import _degrid_dense
 
         out = _degrid_dense(kgrid, angles, nro, kernwidth, beta)
@@ -310,8 +325,8 @@ def degrid_radial2d_pallas(
 
         t = tuning if tuning is not None else _default_tuning()
         out = _degrid_pallas_impl(
-            kgrid, angles, n, kernwidth, beta, pe_chunk, tile, matmul_dtype,
-            interpret, ws=t.ws, unroll=t.unroll, vmem_limit=t.vmem_limit,
-            batched=t.batched,
+            kgrid, angles, n, nro, kernwidth, beta, pe_chunk, tile,
+            matmul_dtype, interpret, ws=t.ws, unroll=t.unroll,
+            vmem_limit=t.vmem_limit, batched=t.batched,
         )
     return out[0] if squeeze else out

@@ -55,16 +55,27 @@ def grid_radial2d(
     kernwidth: float,
     beta: float,
     pe_chunk: int = 4,
+    raw_rows: bool = False,
 ) -> jnp.ndarray:
     """data: (..., npe, nro) radial samples (already density-compensated);
     angles: (npe,). Returns (..., nyos, nxos) centered k-space grid, scaled
-    by 1/(nxos*npe) like the reference (`src/tron.cu:532`)."""
+    by 1/(nxos*npe) like the reference (`src/tron.cu:532`).
+
+    ``raw_rows=True`` grids each readout at its EXACT radius
+    ((ro - nro/2) * nxos/nro in grid units) instead of the reference's
+    trunc-resample onto integer grid radii (`src/tron.cu:517`) — the exact
+    transpose of the clip-mode degrid at any gridos (used by the CGNR
+    operator pair; identical to the default path when nro == nxos)."""
     *batch, npe, nro = data.shape
     batch = tuple(batch)
 
-    rr, ridx, valid = _radius_map(nxos, nro)
-    # resample readouts onto grid radii (identity when nxos == nro)
-    ds = jnp.take(data, ridx, axis=-1) * valid.astype(data.dtype)  # (..., npe, nR)
+    if raw_rows:
+        rr = (jnp.arange(nro, dtype=jnp.float32) - nro // 2) * (nxos / nro)
+        ds = data
+    else:
+        rr, ridx, valid = _radius_map(nxos, nro)
+        # resample readouts onto grid radii (identity when nxos == nro)
+        ds = jnp.take(data, ridx, axis=-1) * valid.astype(data.dtype)  # (..., npe, nR)
 
     # pad spokes to a multiple of the chunk (zero data -> zero contribution)
     nch = -(-npe // pe_chunk)
@@ -78,7 +89,8 @@ def grid_radial2d(
     st = jnp.sin(angles).astype(jnp.float32)
 
     # reorganize for scan over spoke chunks: (nch, P, ...)
-    ds_c = jnp.moveaxis(ds, -2, 0).reshape((nch, pe_chunk) + batch + (nxos,))
+    nR = nro if raw_rows else nxos
+    ds_c = jnp.moveaxis(ds, -2, 0).reshape((nch, pe_chunk) + batch + (nR,))
     ct_c = ct.reshape(nch, pe_chunk)
     st_c = st.reshape(nch, pe_chunk)
 

@@ -217,7 +217,7 @@ def _kb_inline(x2: jnp.ndarray, kernwidth: float, beta: float) -> jnp.ndarray:
 
 def _tile_segments(
     nxos: int, tile: int, kernwidth: float, tile_y: int | None = None,
-    nR: int | None = None, skip_center: int = 0,
+    nR: int | None = None, skip_center: int = 0, row_scale: float = 1.0,
 ):
     """Static per-(tile, sign) radius segments.
 
@@ -239,6 +239,11 @@ def _tile_segments(
     contained tiles are excluded from the seg_len max (the center-split
     grids them separately with finer tiles; excluding their near-origin
     bands shrinks every OUTER tile's long-class operand height).
+
+    ``row_scale``: grid-radius units per radius row (row u <-> radius
+    (u - hr) * row_scale).  1.0 for the gridder's integer grid-radius
+    lattice; the degrid kernel at gridos != 2 uses nxos/nro so its output
+    rows sit at the exact sample radii (`src/tron.cu:517` geometry).
 
     Returns (seg_start[tiles_y, tiles_x, 2] int32 in rr-index space,
     nonempty[tiles_y, tiles_x, 2] bool, seg_len int,
@@ -270,8 +275,8 @@ def _tile_segments(
             rmax = max(
                 (xx * xx + yy * yy) ** 0.5 for xx in (x0, x1) for yy in (y0, y1)
             )
-            lo = max(0, int(np.floor(rmin - kernwidth)) - 1)
-            hi = min(hr - 1, int(np.ceil(rmax + kernwidth)) + 1)
+            lo = max(0, int(np.floor((rmin - kernwidth) / row_scale)) - 1)
+            hi = min(hr - 1, int(np.ceil((rmax + kernwidth) / row_scale)) + 1)
             bands[i, j] = (lo, hi)
             # sign 0 covers radii [lo, hi] (includes r == 0 exactly once);
             # sign 1 covers radii [-hi, -max(lo, 1)] (never r == 0)
@@ -623,6 +628,36 @@ def grid_radial2d_pallas_planes(
     )
 
 
+def grid_radial2d_pallas_exact(
+    data: jnp.ndarray,
+    angles: jnp.ndarray,
+    nxos: int,
+    kernwidth: float,
+    beta: float,
+    pe_chunk: int = 16,
+    tile: int = 128,
+    matmul_dtype: str = "bfloat16",
+    interpret: bool = False,
+    tuning=None,
+) -> jnp.ndarray:
+    """Exact-lattice adjoint gridding: every readout grids at its exact
+    radius ((ro - nro/2) * nxos/nro) instead of the reference's
+    trunc-resample (`src/tron.cu:517`) — the precise transpose of the
+    generalized Pallas degrid at any gridos (identical math to
+    grid_radial2d_pallas when nro == nxos).  data: (C, npe, nro) complex;
+    returns (C, nxos, nxos) complex64.  Requires a tileable grid."""
+    assert nxos % tile == 0 and nxos // tile >= 2, (nxos, tile)
+    nro = data.shape[-1]
+    t = tuning if tuning is not None else _default_tuning()
+    ty = t.tile_y if t.tile_y and nxos % t.tile_y == 0 else None
+    return _pallas_win_impl(
+        data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
+        interpret, ws=t.ws, tile_y=ty, kf=t.kf, unroll=t.unroll,
+        vmem_limit=t.vmem_limit, vmem_budget=t.vmem_budget,
+        batched=t.batched, scrub_per_tile=t.scrub_per_tile, raw_nro=nro,
+    )
+
+
 def _prep_samples(data, nxos, pe_chunk, angles, layout, kf=1):
     """Shared prep: resample to grid radii, channel-expand, sort spokes by
     angle (so spoke chunks are angularly coherent wedges for culling), pad
@@ -907,6 +942,7 @@ def _win_kernel(
     half_r: int | None = None,
     flat: bool = False,
     scrub_per_tile: bool = False,
+    row_scale: float = 1.0,
 ):
     """Windowed gridding kernel body.
 
@@ -1003,6 +1039,8 @@ def _win_kernel(
                 rwin = (
                     jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - hr
                 ).astype(jnp.float32)
+                if row_scale != 1.0:  # exact-lattice mode (raw readout rows)
+                    rwin = rwin * row_scale
                 A = _kb_poly(rwin * ct - X, kernwidth, kb_coeffs)
                 B = _kb_poly(rwin * st - Y, kernwidth, kb_coeffs)
                 sp = s_ref[slot0 + slot, pl.ds(w0, win), :]
@@ -1128,6 +1166,7 @@ def _win_kernel_batched(
     fuse3: bool = True,
     half_r: int | None = None,
     flat: bool = False,
+    row_scale: float = 1.0,
 ):
     """Batched-eval windowed gridding kernel (config.KernelTuning.batched).
 
@@ -1193,6 +1232,8 @@ def _win_kernel_batched(
                 rwin = (
                     jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + w0 - hr
                 ).astype(jnp.float32)
+                if row_scale != 1.0:  # exact-lattice mode (raw readout rows)
+                    rwin = rwin * row_scale
                 # invalid slots (p >= cnt): zero the A rows via a 0/1 scalar
                 # multiply — NOT by perturbing the poly argument, which
                 # changes FMA formation by an ulp and flips support-boundary
@@ -1256,7 +1297,7 @@ def _win_kernel_batched(
 
 def _chord_tables(
     angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=None, tile_y=None,
-    nR=None,
+    nR=None, row_scale: float = 1.0,
 ):
     """Exact per-(tile, sign, spoke) in-tile radial chords: hit tests,
     short/long classification, compacted hit lists, and short-window starts.
@@ -1275,6 +1316,10 @@ def _chord_tables(
     call grids an nxos-sized origin neighborhood of an nR-row readout, so
     pixel rects center on h = nxos//2 while rr-index space centers on
     hr = nR//2.
+
+    ``row_scale``: grid-radius units per radius row (see _tile_segments);
+    the ray-rectangle chord math stays in grid-radius units and only the
+    row-index conversions (window starts, the short/long split) scale.
     """
     import numpy as np
 
@@ -1306,26 +1351,29 @@ def _chord_tables(
     rx_hi = jnp.where(c > 0, x1 / c, jnp.where(c < 0, x0 / c, big))
     ry_lo = jnp.where(s > 0, y0 / s, jnp.where(s < 0, y1 / s, -big))
     ry_hi = jnp.where(s > 0, y1 / s, jnp.where(s < 0, y0 / s, big))
-    rmin = jnp.asarray([0.0, 1.0], jnp.float32)[None, :, None]
+    # the first row off-center sits at |radius| = row_scale, so the sign-
+    # chord lower bound scales with the lattice (1.0 at the default
+    # integer-radius lattice)
+    rmin = jnp.asarray([0.0, row_scale], jnp.float32)[None, :, None]
     lo = jnp.maximum(jnp.maximum(rx_lo, ry_lo), rmin)       # (T2, 2, npe')
-    hi = jnp.minimum(jnp.minimum(rx_hi, ry_hi), float(hr - 1))
+    hi = jnp.minimum(jnp.minimum(rx_hi, ry_hi), float((hr - 1) * row_scale))
 
     hit = hi >= lo
     if npe is not None and npe < nch * pe_chunk:
         # padded spokes sort last (edge-mode angle padding appends them
         # after the sorted real spokes), so a plain index test masks them
         hit = hit & (jnp.arange(nch * pe_chunk) < npe)[None, None, :]
-    length = hi - lo
+    length = (hi - lo) / row_scale                          # in row units
     short = hit & (length <= ws - 4)
     long_ = hit & ~short
 
-    # short window start in rr-index space: sign+ -> hr+floor(lo)-2,
-    # sign- -> hr-ceil(hi)-2.  Crucially the padding must never cross r = 0
-    # into the other sign's territory (near the origin those rows are
+    # short window start in rr-index space: sign+ -> hr+floor(lo/rs)-2,
+    # sign- -> hr-ceil(hi/rs)-2.  Crucially the padding must never cross
+    # r = 0 into the other sign's territory (near the origin those rows are
     # in-band and would double count): sign+ windows stay at idx >= hr,
-    # sign- windows end at idx <= hr-1 (rr <= -1).
-    w0p = jnp.clip(hr + jnp.floor(lo[:, 0]) - 2, hr, nR - ws)
-    w0m = jnp.clip(hr - jnp.ceil(hi[:, 1]) - 2, 0, hr - ws)
+    # sign- windows end at idx <= hr-1 (radius <= -row_scale).
+    w0p = jnp.clip(hr + jnp.floor(lo[:, 0] / row_scale) - 2, hr, nR - ws)
+    w0m = jnp.clip(hr - jnp.ceil(hi[:, 1] / row_scale) - 2, 0, hr - ws)
     w0 = jnp.stack([w0p, w0m], axis=1).astype(jnp.int32)    # (T2, 2, npe')
 
     cnt_l, hl_l = _pack_hits(long_, t2, nch, pe_chunk)
@@ -1363,14 +1411,14 @@ def _pack_hits(mask, t2, nch, pe_chunk):
     static_argnames=(
         "nxos", "kernwidth", "beta", "pe_chunk", "tile", "matmul_dtype", "interpret",
         "ws", "tile_y", "planes", "kf", "unroll", "vmem_limit", "vmem_budget",
-        "center_tile", "batched", "scrub_per_tile",
+        "center_tile", "batched", "scrub_per_tile", "raw_nro",
     ),
 )
 def _pallas_win_impl(
     data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype, interpret,
     ws=48, tile_y=None, planes=False, kf=1, unroll=1, vmem_limit=0,
     vmem_budget=12 * 1024 * 1024, center_tile=0, batched=False,
-    scrub_per_tile=False,
+    scrub_per_tile=False, raw_nro=0,
 ):
     """Windowed variant of _pallas_seg_impl: exact chord culling + a
     short-window operand class (see _chord_tables).  ws (the short-window
@@ -1382,6 +1430,12 @@ def _pallas_win_impl(
     Tiles are tile_y x tile (rows x lanes).  Shrinking tile_y shrinks the
     channel-expanded U operand (c2*tile_y lanes) — the measured store
     hotspot — while the lane-dim tile stays at the 128 the hardware wants.
+
+    ``raw_nro`` > 0 selects the EXACT-LATTICE mode: samples stay on their
+    raw_nro readout rows (no trunc-resample onto grid radii) and the KB
+    weights evaluate at the exact radii (row - nro/2) * nxos/nro — the
+    precise transpose of the generalized degrid kernel at any gridos
+    (identical to the default path when raw_nro == nxos).
     """
     if tile_y is None:
         tile_y = tile
@@ -1391,6 +1445,9 @@ def _pallas_win_impl(
     else:
         C, npe, nro = data.shape
         c2 = 2 * C
+    assert not (planes and raw_nro), "raw_nro takes complex input"
+    nR_rows = raw_nro if raw_nro else nxos
+    row_scale = nxos / raw_nro if raw_nro else 1.0
     tiles_y, tiles_x = nxos // tile_y, nxos // tile
 
     # center-split: the origin-adjacent main tiles are hit by EVERY spoke
@@ -1405,7 +1462,8 @@ def _pallas_win_impl(
 
     cs = 2 * (tile * tile_y // _math.gcd(tile, tile_y))     # 2*lcm
     split = (
-        center_tile > 0
+        raw_nro == 0  # center-split tables assume the integer-radius lattice
+        and center_tile > 0
         and center_tile % 8 == 0
         and nxos > cs
         and cs % center_tile == 0
@@ -1415,14 +1473,15 @@ def _pallas_win_impl(
         and (nxos // 2) % tile_y == 0
     )
     starts, nonempty, seg, outer = _tile_segments(
-        nxos, tile, kernwidth, tile_y=tile_y, skip_center=cs if split else 0
+        nxos, tile, kernwidth, tile_y=tile_y, skip_center=cs if split else 0,
+        nR=nR_rows, row_scale=row_scale,
     )
 
     # the short-window start clamp (see _chord_tables) needs ws <= nR/2 so
     # sign+ windows at [hr, nR-ws] can never cross r = 0 into the other
     # sign's rows (on small grids an unclamped ws inverted the clip and
     # double-counted near-origin samples)
-    ws = min(ws, nxos // 2)
+    ws = min(ws, nR_rows // 2)
 
     passes = {"bf16x3": 3, "bf16x2": 2}.get(matmul_dtype, 1)
     itemsize = 4 if matmul_dtype == "float32" else 2
@@ -1447,14 +1506,25 @@ def _pallas_win_impl(
     while kf > 1 and 2 * kf * pe_chunk * nxos * c2 * 4 > 4 * 1024 * 1024:
         kf //= 2
 
-    if planes:
-        # data is already (npe, nR, C2) f32 planes (radius-mapped, masked,
-        # density-compensated upstream, ONCE per acquisition — see
-        # to_sample_planes); only the per-frame angle sort + padding remain
+    if planes or raw_nro:
+        # planes: data is already (npe, nR, C2) f32 planes (radius-mapped,
+        # masked, density-compensated upstream, ONCE per acquisition — see
+        # to_sample_planes).  raw_nro: relayout the complex input onto its
+        # RAW readout rows (exact-lattice mode skips the resample entirely).
+        # Only the per-frame angle sort + padding remain either way.
         from tron_tpu.trajectory import modang
 
+        if raw_nro:
+            s2 = jnp.moveaxis(
+                jnp.stack([data.real, data.imag], axis=1).reshape(
+                    c2, npe, raw_nro
+                ),
+                0, -1,
+            )                                       # (npe, nro, C2)
+        else:
+            s2 = data
         order = jnp.argsort(modang(angles))
-        s2 = data[order]
+        s2 = s2[order]
         angles_s = angles[order]
         nch = -(-npe // (pe_chunk * kf)) * kf
         padn = nch * pe_chunk - npe
@@ -1474,7 +1544,7 @@ def _pallas_win_impl(
     # block, fetched once) instead of re-DMAing a per-step block.  Measured
     # NEUTRAL-to-slightly-slower on the whole-body geometry (the per-step
     # DMA is already overlapped by the grid pipeline), so off by default.
-    s2_bytes = nch * pe_chunk * nxos * c2 * 4
+    s2_bytes = nch * pe_chunk * nR_rows * c2 * 4
     resident = (
         _os.environ.get("TRON_RESIDENT", "0") not in ("", "0")
         and s2_bytes <= 6 * 1024 * 1024
@@ -1518,6 +1588,7 @@ def _pallas_win_impl(
             fuse3=fuse3,
             half_r=hr,
             flat=tlist is not None,
+            row_scale=nxos / nRr if raw_nro else 1.0,
         )
         if batched:
             # no operand scratches -> no cross-step scrub state to port
@@ -1601,13 +1672,13 @@ def _pallas_win_impl(
 
     tables = _chord_tables(
         angles_s, nxos, tile, kernwidth, nch, pe_chunk, ws, npe=npe,
-        tile_y=tile_y,
+        tile_y=tile_y, nR=nR_rows, row_scale=row_scale,
     )
     tlist = None
     if split:
         ti, tj = np.nonzero(outer)
         tlist = (ti.astype(np.int32), tj.astype(np.int32))
-    out = run_call(nxos, tile, tile_y, s2, nxos, nxos // 2, starts, seg,
+    out = run_call(nxos, tile, tile_y, s2, nR_rows, nR_rows // 2, starts, seg,
                    tables, tlist, resident, ws)
 
     if split:

@@ -227,17 +227,27 @@ def cgnr_radial2d(
         # dense forward (einsums transpose to einsums)
         from tron_tpu.nufft import _on_tpu
 
-        operators = "pair" if (_on_tpu() and nro == nxos) else "transpose"
+        operators = "pair" if _on_tpu() else "transpose"
 
     if operators == "pair":
         # clip-convention forward: exact transpose of the gridding adjoint
         # everywhere except readout 0 (never gridded — reference convention),
         # which is weighted out of the problem (one sample per spoke, at the
-        # highest |k|)
+        # highest |k|).  At gridos != 2 the default adjoint's trunc-resample
+        # (`src/tron.cu:517`) snaps radii by up to nxos/nro/2 grid units — a
+        # poor forward model (measured: CGNR with it recons WORSE than the
+        # plain adjoint) — so the pair switches to the EXACT-LATTICE
+        # adjoint (nufft_adjoint_exact), whose transpose the generalized
+        # degrid kernel is at any gridos.
+        from tron_tpu.nufft import nufft_adjoint_exact
+
         fwd = partial(nufft_forward, angles=angles, cfg=cfg, nro=nro, wrap=False)
 
         def AHW(y):
-            out = nufft_adjoint(w * y, angles, cfg, apply_sdc=False)
+            if nro == nxos:
+                out = nufft_adjoint(w * y, angles, cfg, apply_sdc=False)
+            else:
+                out = nufft_adjoint_exact(w * y, angles, cfg)
             out = out * (nxos * npe)  # undo the gridder's reference scale
             if spoke_axis is not None:
                 out = jax.lax.psum(out, spoke_axis)

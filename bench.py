@@ -412,6 +412,138 @@ def main():
 
     _attempt("koosh", koosh, RESULT)
 
+    # --- forward (degrid) throughput ----------------------------------------
+    # The forward operator is half the reference's reason to exist (RUNME1
+    # synthesis, `src/tron.cu:639-649`): whole-body-class forward — 6-coil
+    # 256^2 images degridded to 204 golden-angle spokes x 512 readouts per
+    # frame, same frame count and methodology as the adjoint headline.
+    # Images are synthesized ON DEVICE (no 3 GB tunnel upload).
+    def make_degrid(nz_f):
+        def degrid_throughput():
+            n = nro // 2
+            angles = spoke_angles(work, "golden", 0)
+
+            @jax.jit
+            def synth(key):
+                k1, k2 = jax.random.split(key)
+                shape = (nz_f, nc, n, n)
+                return (
+                    jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape)
+                ).astype(jnp.complex64)
+
+            imgs = synth(jax.random.PRNGKey(0))
+
+            @jax.jit
+            def fwd(stack, s):
+                def one(zimg):
+                    return nufft_forward(zimg * s, angles, cfg, nro=nro)
+
+                return jax.lax.map(one, stack, batch_size=8)
+
+            def run(s):
+                out = fwd(imgs, jnp.float32(s))
+                return float(jnp.sum(jnp.abs(out)))
+
+            run(1.0)
+            run(1.0001)
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                run(1.0 + 0.0001 * i)
+            dt = (time.perf_counter() - t0) / reps
+            RESULT["degrid_msamples_per_s"] = round(
+                nz_f * nc * nro * work / dt / 1e6, 2
+            )
+            RESULT["degrid_frames"] = nz_f
+
+        return degrid_throughput
+
+    if not _attempt("degrid_throughput", make_degrid(NFRAMES), RESULT):
+        _attempt("degrid_throughput_fallback64", make_degrid(64), RESULT, retries=2)
+
+    # --- CGNR seconds/iteration, pair vs Toeplitz ---------------------------
+    # The marquee "we fixed it" feature (the reference's CGNR is broken,
+    # `src/tron.cu:658-720`): one whole-body frame, iteration cost isolated
+    # by the slope between 2 and 10 forced iterations (rtol=0), so setup
+    # (incl. the Toeplitz PSF precompute) and readback cancel.
+    def cgnr_cost():
+        from tron_tpu.solver import cgnr_radial2d
+
+        angles = spoke_angles(work, "golden", 0)
+        data_c = to_device(
+            (
+                rng.standard_normal((nc, work, nro))
+                + 1j * rng.standard_normal((nc, work, nro))
+            ).astype(np.complex64)
+        )
+
+        def sec_per_run(niter, toeplitz):
+            cfgc = dataclasses.replace(cfg, niter=niter, toeplitz=toeplitz)
+
+            @jax.jit
+            def solve(x):
+                return cgnr_radial2d(x, angles, cfgc, rtol=0.0)
+
+            def run(s):
+                return float(jnp.sum(jnp.abs(solve(data_c * jnp.float32(s)))))
+
+            run(1.0)
+            run(1.0001)
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                run(1.0 + 0.0001 * i)
+            return (time.perf_counter() - t0) / reps
+
+        for name, tp in (("pair", False), ("toeplitz", True)):
+            t2, t10 = sec_per_run(2, tp), sec_per_run(10, tp)
+            RESULT[f"cgnr_{name}_s_per_iter"] = round(max(t10 - t2, 0.0) / 8, 5)
+
+    _attempt("cgnr_cost", cgnr_cost, RESULT)
+
+    # --- Walsh adaptive coil combine ----------------------------------------
+    # The reference carries Walsh but comments it out of the call path
+    # (`src/tron.cu:270-302, 766`); here it is a live CLI mode, timed on a
+    # whole-body-class batch (6 coils, 256^2) by the same slope trick
+    # (16 vs 48 frames) so dispatch/readback constants cancel.  NB the
+    # vmapped covariance is HBM-hungry (~80 MB/frame of (6,6,256,256)
+    # temps); 192 frames ran out of the 16 GB HBM, hence the small counts.
+    def walsh_cost():
+        from tron_tpu.ops.coil import coil_combine_walsh
+
+        n = nro // 2
+
+        @jax.jit
+        def run_w(x, s):
+            return jax.vmap(lambda ci: coil_combine_walsh(ci * s, 1))(x)
+
+        def timed_at(nf):
+            @jax.jit
+            def synth(key):
+                k1, k2 = jax.random.split(key)
+                shape = (nf, nc, n, n)
+                return (
+                    jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape)
+                ).astype(jnp.complex64)
+
+            imgs = synth(jax.random.PRNGKey(nf))
+            run = lambda s: float(jnp.sum(jnp.abs(run_w(imgs, jnp.float32(s)))))
+            run(1.0)
+            run(1.0001)
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                run(1.0 + 0.0001 * i)
+            return (time.perf_counter() - t0) / reps
+
+        t16, t48 = timed_at(16), timed_at(48)
+        slope = (t48 - t16) / 32
+        if slope <= 0:
+            raise RuntimeError(f"non-positive walsh slope: {t16:.4f} {t48:.4f}")
+        RESULT["walsh_ms_per_frame"] = round(slope * 1e3, 3)
+
+    _attempt("walsh_cost", walsh_cost, RESULT)
+
     return 0
 
 

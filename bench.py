@@ -464,8 +464,11 @@ def main():
     # --- CGNR seconds/iteration, pair vs Toeplitz ---------------------------
     # The marquee "we fixed it" feature (the reference's CGNR is broken,
     # `src/tron.cu:658-720`): one whole-body frame, iteration cost isolated
-    # by the slope between 2 and 10 forced iterations (rtol=0), so setup
-    # (incl. the Toeplitz PSF precompute) and readback cancel.
+    # by the slope between 2 and 34 forced iterations (rtol=0), so setup
+    # (incl. the Toeplitz PSF precompute) and readback cancel.  The wide
+    # 32-iteration spread matters: Toeplitz iterations are FFT-cheap
+    # (~sub-ms) and a 2->10 slope drowned in tunnel dispatch noise
+    # (measured 0.0 s/iter).
     def cgnr_cost():
         from tron_tpu.solver import cgnr_radial2d
 
@@ -496,8 +499,8 @@ def main():
             return (time.perf_counter() - t0) / reps
 
         for name, tp in (("pair", False), ("toeplitz", True)):
-            t2, t10 = sec_per_run(2, tp), sec_per_run(10, tp)
-            RESULT[f"cgnr_{name}_s_per_iter"] = round(max(t10 - t2, 0.0) / 8, 5)
+            t2, t34 = sec_per_run(2, tp), sec_per_run(34, tp)
+            RESULT[f"cgnr_{name}_s_per_iter"] = round(max(t34 - t2, 0.0) / 32, 5)
 
     _attempt("cgnr_cost", cgnr_cost, RESULT)
 

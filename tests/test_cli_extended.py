@@ -312,3 +312,33 @@ def test_stream_fp16_pair_input(tmp_path, rng):
     assert main(args + [str(b), "--stream"]) == 0
     assert ra_query(a).dims == ra_query(b).dims
     np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_forward_shard_matches_unsharded(tmp_path, rng):
+    """--shard on the forward (degrid) path: frame-DP over image slices."""
+    nc, n, nz = 2, 16, 5
+    d = (rng.standard_normal((nc, 1, n, n, nz)) +
+         1j * rng.standard_normal((nc, 1, n, n, nz))).astype(np.complex64)
+    p = tmp_path / "img.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-G", "-u", "0.5", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--shard"]) == 0
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_forward_shard_koosh(tmp_path, rng):
+    """-3 --shard forward: sharded slice degrids + the kz-FFT gather."""
+    nc, n, nz = 2, 16, 6
+    d = (rng.standard_normal((nc, 1, n, n, nz)) +
+         1j * rng.standard_normal((nc, 1, n, n, nz))).astype(np.complex64)
+    p = tmp_path / "img.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-3", "-G", "-u", "0.5", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--shard"]) == 0
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=2e-5)

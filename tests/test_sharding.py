@@ -279,3 +279,43 @@ def test_spoke_coil_cgnr_and_walsh(rng):
     coil = nufft_adjoint(jnp.asarray(data), angles, cfgw)
     wanth = np.asarray(coil_combine_walsh(coil, cfgw.walsh_npatch))
     np.testing.assert_allclose(goth, wanth, rtol=2e-4, atol=1e-5)
+
+
+def test_forward_sharded_matches_local(rng):
+    # frame-sharded forward degrid (2D image series), non-dividing nz
+    from tron_tpu.parallel import recon_forward_sharded
+    from tron_tpu.recon import recon_radial2d
+
+    nc, nt, n, nz = 2, 1, 16, 5
+    cfg = ReconConfig(golden_angle=True, data_undersamp=0.5, adjoint=False)
+    imgs = (
+        rng.standard_normal((nc, nt, n, n, nz))
+        + 1j * rng.standard_normal((nc, nt, n, n, nz))
+    ).astype(np.complex64)
+
+    mesh = make_mesh(n_frame=4, n_coil=2)
+    got = recon_forward_sharded(imgs, cfg, mesh)
+    want = recon_radial2d(imgs, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_forward_sharded_koosh(rng):
+    # slice-sharded -3 forward: sharded degrids + the replicating kz FFT
+    from tron_tpu.parallel import recon_forward_sharded
+    from tron_tpu.recon import recon_radial2d
+
+    nc, nt, n, nz = 2, 1, 16, 6
+    cfg = ReconConfig(
+        golden_angle=True, data_undersamp=0.5, adjoint=False, koosh=True
+    )
+    imgs = (
+        rng.standard_normal((nc, nt, n, n, nz))
+        + 1j * rng.standard_normal((nc, nt, n, n, nz))
+    ).astype(np.complex64)
+
+    mesh = make_mesh(n_frame=8, n_coil=1)
+    got = recon_forward_sharded(imgs, cfg, mesh)
+    want = recon_radial2d(imgs, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

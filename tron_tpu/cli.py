@@ -342,6 +342,13 @@ def main(argv=None) -> int:
 
             mesh3 = make_mesh(n_frame=len(jax.devices()), n_coil=1)
             out = recon_stack_of_stars_sharded(indata, cfg, mesh3)
+        elif args.shard and not cfg.adjoint:
+            # forward --shard: image slices degrid independently (frames =
+            # DP, zero communication); -3 adds one kz-FFT all_gather
+            from tron_tpu.parallel import make_mesh, recon_forward_sharded
+
+            meshf = make_mesh(n_frame=len(jax.devices()), n_coil=1)
+            out = recon_forward_sharded(indata, cfg, meshf)
         elif args.shard_spokes and cfg.adjoint and not cfg.koosh:
             out = _recon_spoke_sharded_cli(indata, cfg)
         else:

@@ -1,6 +1,7 @@
 from tron_tpu.parallel import distributed
 from tron_tpu.parallel.mesh import (
     make_mesh,
+    recon_forward_sharded,
     recon_frames_sharded,
     recon_stack_of_stars_sharded,
 )
@@ -12,6 +13,7 @@ from tron_tpu.parallel.spoke import (
 
 __all__ = [
     "make_mesh",
+    "recon_forward_sharded",
     "recon_frames_sharded",
     "recon_stack_of_stars_sharded",
     "distributed",

@@ -287,3 +287,81 @@ def recon_stack_of_stars_sharded(
         cfg2, mesh, work, slide, nzi, nt, nc, npe1, nro, npe2
     )
     return to_host(step(to_device(dnp)))
+
+
+@functools.lru_cache(maxsize=16)
+def _forward_sharded_step(cfg, mesh, npe1, nro, nz, nC, ny, nx, koosh):
+    """Build + jit the frame(+coil)-sharded forward degrid once per
+    (config, mesh, shape).  Image slices degrid independently (the hot
+    O(nro*npe*(2kw)^2) work, `src/tron.cu:540-577`), so they shard over
+    'frame' with zero communication — channels likewise over 'coil'.  For
+    -3 (koosh) the trailing centered kz FFT mixes all slices, so it runs
+    AFTER the sharded degrids under the same jit: XLA inserts the one
+    all_gather of the (cheap, already-degridded) sample stack over ICI."""
+    nfr = mesh.shape["frame"]
+    nzp = -(-nz // nfr) * nfr
+    scheme = cfg.scheme_for("forward")
+    from tron_tpu.nufft import nufft_forward
+
+    def worker(stack_local):
+        # stack_local: (nzp/nfr, nC/ncs, ny, nx)
+        angles = spoke_angles(npe1, scheme, cfg.skip_angles)
+        return jax.lax.map(
+            lambda zimg: nufft_forward(zimg, angles, cfg, nro=nro),
+            stack_local,
+            batch_size=min(stack_local.shape[0], 4),
+        )
+
+    shard = jax.shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=P("frame", "coil", None, None),
+        out_specs=P("frame", "coil", None, None),
+    )
+
+    def run(stack):
+        pad = nzp - nz
+        if pad:
+            # pad tail redundantly degrids the last slice; sliced off below
+            stack = jnp.concatenate(
+                [stack, jnp.broadcast_to(stack[-1:], (pad, nC, ny, nx))], 0
+            )
+        data = shard(stack)[:nz]                   # (nz, nC, npe1, nro)
+        if koosh:
+            data = jnp.moveaxis(data, 0, -1)
+            kz = jnp.fft.fftshift(
+                jnp.fft.fft(jnp.fft.ifftshift(data, axes=-1), axis=-1), axes=-1
+            )
+            return jnp.moveaxis(kz, -1, 0)         # (npe2, nC, npe1, nro)
+        return data
+
+    return jax.jit(run)
+
+
+def recon_forward_sharded(
+    indata: np.ndarray, cfg: ReconConfig, mesh: Mesh
+) -> np.ndarray:
+    """Frame(+coil)-sharded forward degrid (2D series and -3 stacks).
+
+    indata: image .ra layout (nc, nt, nx, ny, nz); returns
+    (nz, nc, nt, npe1, nro), matching recon_radial2d's forward path
+    (`tron_tpu/recon.py` forward branches).  nc*nt must divide over the
+    'coil' mesh axis; a non-dividing nz pads over 'frame' (redundant
+    degrids of the last slice, sliced off on return)."""
+    import dataclasses
+
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    koosh = bool(cfg.koosh)
+    cfg2 = dataclasses.replace(cfg, koosh=False, prof_slide=0) if koosh else cfg
+    nc, nt, nx, ny, nz = indata.shape[:5]
+    nro = int(cfg2.gridos * nx)
+    npe1 = int(cfg2.data_undersamp * nro)
+    ncs = mesh.shape["coil"]
+    assert (nc * nt) % ncs == 0, f"nc*nt={nc*nt} must divide over coil axis {ncs}"
+    imgs_np = np.ascontiguousarray(
+        np.transpose(np.asarray(indata), (4, 0, 1, 3, 2))
+    ).reshape(nz, nc * nt, ny, nx)
+    step = _forward_sharded_step(cfg2, mesh, npe1, nro, nz, nc * nt, ny, nx, koosh)
+    out = to_host(step(to_device(imgs_np)))
+    return out.reshape(nz, nc, nt, npe1, nro)

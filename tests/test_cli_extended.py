@@ -342,3 +342,52 @@ def test_forward_shard_koosh(tmp_path, rng):
     assert main(args + [str(a)]) == 0
     assert main(args + [str(b), "--shard"]) == 0
     np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_stream_shard_half(tmp_path, rng):
+    """--stream --shard --half: the sharded block scheduler's outputs go
+    through the same on-device f16 cast + region writes."""
+    nc, nro, npe1 = 2, 32, 120
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", "--half", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream", "--shard"]) == 0
+    ha, hb = ra_query(a), ra_query(b)
+    assert ha.dims == hb.dims and ha.dtype == hb.dtype == np.float16
+    np.testing.assert_array_equal(ra_read(a), ra_read(b))
+
+
+def test_half_readback_exact(rng):
+    """f16 device-side readback (recon_radial2d half_readback) must be
+    value-identical to host-side --half conversion of the f32 images —
+    the f16 -> f32 -> f16 roundtrip is exact."""
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.recon import recon_radial2d
+
+    nc, nro, npe1 = 2, 32, 48
+    d = (rng.standard_normal((nc, 1, nro, npe1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1))).astype(np.complex64)
+    cfg = ReconConfig(golden_angle=True, adjoint=True, data_undersamp=0.5,
+                      prof_slide=8)
+    full = recon_radial2d(d, cfg)
+    halfr = recon_radial2d(d, cfg, half_readback=True)
+    np.testing.assert_array_equal(
+        np.stack([full.real, full.imag]).astype(np.float16),
+        np.stack([halfr.real, halfr.imag]).astype(np.float16),
+    )
+
+    cfgk = ReconConfig(golden_angle=True, adjoint=True, data_undersamp=0.5,
+                       koosh=True)
+    dk = (rng.standard_normal((nc, 1, nro, 16, 3)) +
+          1j * rng.standard_normal((nc, 1, nro, 16, 3))).astype(np.complex64)
+    fullk = recon_radial2d(dk, cfgk)
+    halfk = recon_radial2d(dk, cfgk, half_readback=True)
+    np.testing.assert_array_equal(
+        np.stack([fullk.real, fullk.imag]).astype(np.float16),
+        np.stack([halfk.real, halfk.imag]).astype(np.float16),
+    )

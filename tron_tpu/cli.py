@@ -352,7 +352,12 @@ def main(argv=None) -> int:
         elif args.shard_spokes and cfg.adjoint and not cfg.koosh:
             out = _recon_spoke_sharded_cli(indata, cfg)
         else:
-            out = recon_radial2d(indata, cfg)
+            # --half output => f16 readback (halved D2H bytes, value-exact
+            # under the later f16 store; adjoint only — forward .ra output
+            # conversion happens host-side either way)
+            out = recon_radial2d(
+                indata, cfg, half_readback=args.half and cfg.adjoint
+            )
     elapsed = time.perf_counter() - start
     vprint(f"Elapsed time: {elapsed:.2f} s")
 

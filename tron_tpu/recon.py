@@ -27,6 +27,22 @@ from tron_tpu.trajectory import spoke_angles
 from tron_tpu.utils.xfer import to_device, to_host
 
 
+def _fetch_host(dev: jnp.ndarray, half: bool) -> np.ndarray:
+    """Device images -> host complex64.  ``half`` casts to float16 re/im
+    planes ON DEVICE before the transfer (2x fewer D2H bytes) and
+    recombines on host — value-identical to a later host-side --half store
+    (the f16 -> f32 -> f16 roundtrip is exact), so it is only enabled when
+    the caller stores float16 anyway."""
+    if half:
+        from tron_tpu.utils.xfer import to_host_planes
+
+        re, im = to_host_planes(dev, np.float16)
+        return (
+            re.astype(np.float32) + 1j * im.astype(np.float32)
+        ).astype(np.complex64)
+    return to_host(dev)
+
+
 def _combine(coilimg: jnp.ndarray, cfg: ReconConfig) -> jnp.ndarray:
     if cfg.coil_combine == "walsh":
         return coil_combine_walsh(coilimg, cfg.walsh_npatch)
@@ -250,7 +266,9 @@ def incremental_scan(
     return jnp.concatenate([img0[None], imgs], axis=0)
 
 
-def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
+def recon_radial2d(
+    indata: np.ndarray, cfg: ReconConfig, half_readback: bool = False
+) -> np.ndarray:
     """Host-level recon mimicking the reference driver contract.
 
     adjoint: indata (nc, nt, nro, npe1) [+ optional trailing npe2 axis]
@@ -258,12 +276,18 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
     the CLI relabels to .ra dims (1, nt, nx, ny, nz).
 
     forward: indata (nc, nt, nx, ny, nz) images -> (nc, nt, nro, npe1, nz).
+
+    ``half_readback``: cast images to float16 ON DEVICE before the D2H
+    transfer (halving readback bytes) and recombine to complex64 on host —
+    value-identical to a host-side ``--half`` conversion (the f16->f32->f16
+    roundtrip is exact), so the CLI enables it whenever ``--half`` output
+    is requested anyway.  Adjoint paths only.
     """
     # NB: all 5-D layout munging happens host-side in numpy; only dense
     # <=4-D arrays are shipped to the device (the axon TPU client cannot
     # transfer rank-5 arrays at all).
     if cfg.koosh:
-        return _recon_stack_of_stars(indata, cfg)
+        return _recon_stack_of_stars(indata, cfg, half_readback)
     if cfg.adjoint:
         nc, nt, nro, npe1 = indata.shape[:4]
         work, slide, nz = cfg.frame_geometry(nro, npe1)
@@ -289,9 +313,9 @@ def recon_radial2d(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
             # kernels are invoked unbatched per repetition
             d = d.reshape(nt, nc, npe1, nro)
             out = jax.lax.map(lambda dd: frames_fn(dd, cfg, work, slide, nz), d)
-            return to_host(jnp.moveaxis(out, 0, 1))  # (nz, nt, n, n)
+            return _fetch_host(jnp.moveaxis(out, 0, 1), half_readback)
         out = frames_fn(d, cfg, work, slide, nz)  # (nz, n, n)
-        return to_host(out)[:, None]
+        return _fetch_host(out, half_readback)[:, None]
     else:
         nc, nt, nx, ny, nz = indata.shape[:5]
         nro = int(cfg.gridos * nx)
@@ -461,7 +485,9 @@ def recon_radial2d_streaming(
     return stacked
 
 
-def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
+def _recon_stack_of_stars(
+    indata: np.ndarray, cfg: ReconConfig, half_readback: bool = False
+) -> np.ndarray:
     """3D stack-of-stars (`-3`): 2D radial in-plane x Cartesian phase
     encoding along kz.
 
@@ -486,7 +512,9 @@ def _recon_stack_of_stars(indata: np.ndarray, cfg: ReconConfig) -> np.ndarray:
             np.transpose(np.asarray(indata), (1, 0, 3, 2, 4))
         ).reshape(nt * nc, npe1, nro, npe2)
         d = to_device(dnp)
-        return _koosh_adjoint_pipelined(d, cfg2, work, slide, nzi, nt, nc)
+        return _koosh_adjoint_pipelined(
+            d, cfg2, work, slide, nzi, nt, nc, half=half_readback
+        )
     else:
         nc, nt, nx, ny, nz = indata.shape[:5]
         nro = int(cfg.gridos * nx)
@@ -506,10 +534,10 @@ def _koosh_slice_batch(cfg2, nc, nro) -> int:
     koosh_batch=0 (default) auto-sizes to half the cap, which reproduces the
     measured-safe batch of 2 at 256^2 x 12 planes and scales up when
     tuning.vmem_limit raises the cap.  TRON_KOOSH_BATCH overrides."""
-    t = cfg2.kernel_tuning()
+    nxos = int((nro // 2) * cfg2.gridos)
+    t = cfg2.kernel_tuning(nxos)
     bs = t.koosh_batch
     if bs <= 0:
-        nxos = int((nro // 2) * cfg2.gridos)
         per_slice_bytes = 2 * nc * nxos * nxos * 4
         cap = t.vmem_limit or 16 * 1024 * 1024
         bs = max(1, cap // (2 * per_slice_bytes))
@@ -547,14 +575,17 @@ def _koosh_slice_block(sl, b0, cfg2, work, slide, nzi, nt, nc, bs, nb):
     return jnp.moveaxis(out, 2, 1)         # (nb, nzi, nt, [nc,] n, n)
 
 
-def _koosh_adjoint_pipelined(d, cfg2, work, slide, nzi, nt, nc) -> np.ndarray:
+def _koosh_adjoint_pipelined(
+    d, cfg2, work, slide, nzi, nt, nc, half: bool = False
+) -> np.ndarray:
     """Host driver of the -3 adjoint: kz IFFT on device, then kz-slice
     blocks reconstructed and read back in a 2-stage pipeline — a reader
     thread streams block b's images to the host while the device computes
     block b+1 (the per-frame async D2H overlap of the reference driver,
     `src/tron.cu:767-781`; previously one serial whole-stack transfer).
     d: (nt*nc, npe1, nro, npe2) -> (npe2*nzi, nt, [nc,] n, n) host array,
-    identical values to the single-jit _koosh_adjoint_device."""
+    identical values to the single-jit _koosh_adjoint_device.
+    ``half``: f16 readback (see _fetch_host; exact under a --half store)."""
     from concurrent.futures import ThreadPoolExecutor
 
     npe2 = int(d.shape[-1])
@@ -582,7 +613,7 @@ def _koosh_adjoint_pipelined(d, cfg2, work, slide, nzi, nt, nc) -> np.ndarray:
             dev = _koosh_slice_block(
                 sl, jnp.int32(b0), cfg2, work, slide, nzi, nt, nc, bs, nb
             )
-            pending.append((b0, reader.submit(to_host, dev)))
+            pending.append((b0, reader.submit(_fetch_host, dev, half)))
             while len(pending) > 1:
                 drain(*pending.pop(0))
         while pending:

@@ -52,7 +52,8 @@ def main():
     from tron_tpu.ops.grid_pallas import grid_radial2d_pallas
     from tron_tpu.trajectory import spoke_angles
 
-    tuning = KernelTuning.from_env()
+    # thread the grid size so per-geometry defaults apply (ws=24 at <=256^2)
+    tuning = KernelTuning.from_env(args.nro)
     if args.batched:
         import dataclasses
 

@@ -79,19 +79,33 @@ class KernelTuning:
     scrub_per_tile: bool = False
 
     @classmethod
-    def from_env(cls) -> "KernelTuning":
-        """Defaults + TRON_* environment overrides (experiment scaffolding).
+    def for_geometry(cls, nxos: int | None) -> "KernelTuning":
+        """Measured per-geometry defaults, keyed on the oversampled grid
+        size (the analog of re-running the reference's -B/-T launch tuning
+        per dataset class, `src/tron.cu:831-832`).  The base defaults
+        encode the 512^2 whole-body optimum (round-2/3 scans); entries
+        here override fields where a geometry-specific scan measured a
+        different optimum (NOTES.md round-4 256^2 scan)."""
+        if nxos is not None and nxos <= 256:
+            # 256^2 class (optic-nerve / swallowing geometries)
+            return cls(ws=24)
+        return cls()
+
+    @classmethod
+    def from_env(cls, nxos: int | None = None) -> "KernelTuning":
+        """Per-geometry defaults + TRON_* environment overrides
+        (experiment scaffolding).
 
         Read at trace time, NOT import time — but note a change after a
         function is jit-cached still has no effect on the cached program."""
         import os
 
-        d = cls()
+        d = cls.for_geometry(nxos)
 
         def gi(name, default):
             return int(os.environ.get(name, default))
 
-        ty = gi("TRON_TY", 0)
+        ty = gi("TRON_TY", d.tile_y or 0)
         return cls(
             unroll=gi("TRON_UNROLL", d.unroll),
             ws=gi("TRON_WS", d.ws),
@@ -165,8 +179,12 @@ class ReconConfig:
     tuning: KernelTuning | None = None  # Pallas kernel tuning; None = defaults
                                         # with TRON_* env overrides (from_env)
 
-    def kernel_tuning(self) -> KernelTuning:
-        return self.tuning if self.tuning is not None else KernelTuning.from_env()
+    def kernel_tuning(self, nxos: int | None = None) -> KernelTuning:
+        return (
+            self.tuning
+            if self.tuning is not None
+            else KernelTuning.from_env(nxos)
+        )
 
     def scheme_for(self, direction: str) -> str:
         """Angle scheme for 'forward' or 'adjoint', honoring the override.

@@ -323,7 +323,7 @@ def degrid_radial2d_pallas(
     else:
         from tron_tpu.ops.grid_pallas import _default_tuning
 
-        t = tuning if tuning is not None else _default_tuning()
+        t = tuning if tuning is not None else _default_tuning(n)
         out = _degrid_pallas_impl(
             kgrid, angles, n, nro, kernwidth, beta, pe_chunk, tile,
             matmul_dtype, interpret, ws=t.ws, unroll=t.unroll,

@@ -69,10 +69,10 @@ if _BISECT:
     )
 
 
-def _default_tuning():
+def _default_tuning(nxos: int | None = None):
     from tron_tpu.config import KernelTuning
 
-    return KernelTuning.from_env()
+    return KernelTuning.from_env(nxos)
 
 
 def _vmem_limit_kw(vmem_limit: int = 0):
@@ -555,7 +555,7 @@ def grid_radial2d_pallas(
             data[None], angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
             interpret, windowed, tile_y, tuning,
         )[0]
-    t = tuning if tuning is not None else _default_tuning()
+    t = tuning if tuning is not None else _default_tuning(nxos)
     if tile_y is None:
         tile_y = t.tile_y
     if not (tile_y and nxos % tile_y == 0 and nxos // tile_y >= 1):
@@ -617,7 +617,7 @@ def grid_radial2d_pallas_planes(
     Requires a tileable geometry (the planes fast path exists for the
     whole-body-class shapes; other geometries use grid_radial2d_pallas)."""
     assert nxos % tile == 0 and nxos // tile >= 2, (nxos, tile)
-    t = tuning if tuning is not None else _default_tuning()
+    t = tuning if tuning is not None else _default_tuning(nxos)
     ty = t.tile_y if t.tile_y and nxos % t.tile_y == 0 else None
     return _pallas_win_impl(
         planes, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,
@@ -648,7 +648,7 @@ def grid_radial2d_pallas_exact(
     returns (C, nxos, nxos) complex64.  Requires a tileable grid."""
     assert nxos % tile == 0 and nxos // tile >= 2, (nxos, tile)
     nro = data.shape[-1]
-    t = tuning if tuning is not None else _default_tuning()
+    t = tuning if tuning is not None else _default_tuning(nxos)
     ty = t.tile_y if t.tile_y and nxos % t.tile_y == 0 else None
     return _pallas_win_impl(
         data, angles, nxos, kernwidth, beta, pe_chunk, tile, matmul_dtype,

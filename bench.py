@@ -410,6 +410,16 @@ def main():
             recon_radial2d(dk, cfg_k)
         RESULT["koosh_slices_per_s_e2e"] = round(8 / ((time.perf_counter() - t0) / 3), 2)
 
+        # same, with the --half on-device f16 readback (halved D2H bytes —
+        # what the CLI runs whenever float16 output was requested anyway)
+        recon_radial2d(dk, cfg_k, half_readback=True)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            recon_radial2d(dk, cfg_k, half_readback=True)
+        RESULT["koosh_slices_per_s_e2e_half"] = round(
+            8 / ((time.perf_counter() - t0) / 3), 2
+        )
+
     _attempt("koosh", koosh, RESULT)
 
     # --- forward (degrid) throughput ----------------------------------------
@@ -466,9 +476,9 @@ def main():
     # `src/tron.cu:658-720`): one whole-body frame, iteration cost isolated
     # by the slope between 2 and 34 forced iterations (rtol=0), so setup
     # (incl. the Toeplitz PSF precompute) and readback cancel.  The wide
-    # 32-iteration spread matters: Toeplitz iterations are FFT-cheap
-    # (~sub-ms) and a 2->10 slope drowned in tunnel dispatch noise
-    # (measured 0.0 s/iter).
+    # iteration spread matters: Toeplitz iterations are FFT-cheap
+    # (~sub-ms) and narrow slopes drown in tunnel dispatch noise
+    # (2->10 and 2->34 spreads both measured a clamped 0.0 s/iter).
     def cgnr_cost():
         from tron_tpu.solver import cgnr_radial2d
 
@@ -498,9 +508,14 @@ def main():
                 run(1.0 + 0.0001 * i)
             return (time.perf_counter() - t0) / reps
 
-        for name, tp in (("pair", False), ("toeplitz", True)):
-            t2, t34 = sec_per_run(2, tp), sec_per_run(34, tp)
-            RESULT[f"cgnr_{name}_s_per_iter"] = round(max(t34 - t2, 0.0) / 32, 5)
+        # Toeplitz needs a 256-iteration spread: its FFT-cheap iterations
+        # (~0.1 ms) sat below tunnel dispatch noise even at 32 (r4 val run
+        # recorded a clamped 0.0).
+        for name, tp, hi in (("pair", False, 34), ("toeplitz", True, 258)):
+            t_lo, t_hi = sec_per_run(2, tp), sec_per_run(hi, tp)
+            RESULT[f"cgnr_{name}_s_per_iter"] = round(
+                max(t_hi - t_lo, 0.0) / (hi - 2), 6
+            )
 
     _attempt("cgnr_cost", cgnr_cost, RESULT)
 

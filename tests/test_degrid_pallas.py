@@ -63,13 +63,19 @@ def test_pallas_degrid_linear(rng):
 
 
 def test_pallas_degrid_fallback_small(rng):
-    """Small grids dispatch to the dense backend transparently."""
+    """Small grids dispatch to the dense backend transparently — in the
+    kernel's CLIP convention (wrap=False): callers wanting the reference's
+    periodic wrap patch the boundary readouts on top (nufft_forward)."""
     n, npe = 64, 8
     beta = kb_beta(2.0, 2.0)
     g = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(np.complex64)
     angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
     got = np.asarray(dp.degrid_radial2d_pallas(jnp.asarray(g), angles, n, 2.0, beta))
-    want = np.asarray(degrid_radial2d(jnp.asarray(g), angles, n, 2.0, beta, backend="gather"))
+    want = np.asarray(
+        degrid_radial2d(
+            jnp.asarray(g), angles, n, 2.0, beta, backend="gather", wrap=False
+        )
+    )
     assert nrmse(got, want) < 2e-4
 
 
@@ -219,3 +225,42 @@ def test_wrap_patch_nondefault_gridos(rng, gridos):
     )
     err = nrmse(got, want)
     assert err < 2e-4, f"wrap patch at gridos={gridos} nrmse={err:.2e}"
+
+
+def test_untileable_fallback_wrap_composition(rng):
+    """Regression (round-4 review): on an untileable grid the Pallas
+    entry's dense fallback must keep the CLIP convention so
+    nufft_forward(wrap=False) — the CGNR pair's forward at any gridos —
+    stays the exact transpose of the clip-mode adjoint; and with wrap=True
+    the edge patch on top must reproduce the reference's periodic wrap."""
+    import dataclasses
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import nufft_forward
+
+    # gridos=1.5, nro=256 -> nxos=192: not a multiple of 128 => fallback
+    nro, npe, gridos = 256, 10, 1.5
+    n = nro // 2
+    nxos = int(n * gridos)
+    assert nxos % 128 != 0
+    beta = kb_beta(2.0, gridos)
+    cfg = ReconConfig(gridos=gridos, golden_angle=True, backend="pallas")
+    img = (rng.standard_normal((1, n, n)) + 1j * rng.standard_normal((1, n, n))
+           ).astype(np.complex64)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 0))
+
+    cfg_d = dataclasses.replace(cfg, backend="jnp")
+    for wrap in (False, True):
+        got = np.asarray(
+            nufft_forward(jnp.asarray(img), angles, cfg, nro=nro, wrap=wrap)
+        )
+        want = np.asarray(
+            nufft_forward(jnp.asarray(img), angles, cfg_d, nro=nro, wrap=wrap)
+        )
+        err = nrmse(got, want)
+        assert err < 1e-5, f"wrap={wrap}: pallas-entry fallback nrmse={err:.2e}"
+    # and the conventions must actually differ at the boundary readouts
+    # (otherwise this test guards nothing)
+    a = np.asarray(nufft_forward(jnp.asarray(img), angles, cfg, nro=nro, wrap=True))
+    b = np.asarray(nufft_forward(jnp.asarray(img), angles, cfg, nro=nro, wrap=False))
+    assert nrmse(a, b) > 1e-6

@@ -417,3 +417,34 @@ def test_exact_pair_adjointness(rng, gridos):
     rhs = complex(jnp.vdot(AHy, jnp.asarray(x)))
     rel = abs(lhs - rhs) / abs(rhs)
     assert rel < 1e-4, f"pair dot test at gridos={gridos}: rel={rel:.2e}"
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_recon_call_sites_nondefault_gridos_shapes(gridos):
+    """Regression (round-4 review): the production planes-path call sites
+    (recon_frames, recon_frames_incremental, _sharded_step) must pass nxos
+    — not nro — to to_sample_planes.  At gridos != 2 the wrong argument
+    builds planes on an nro-row lattice and the epilogue infers a wrong
+    image size; jax.eval_shape traces the Pallas path on any platform."""
+    import jax
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.nufft import planes_path_ok
+    from tron_tpu.recon import recon_frames, recon_frames_incremental
+
+    nro, npe1, nc, n = 512, 246, 2, 256
+    cfg = ReconConfig(golden_angle=True, adjoint=True, gridos=gridos,
+                      backend="pallas", incremental=True)
+    assert planes_path_ok(cfg, nro)
+    data = jnp.zeros((nc, npe1, nro), jnp.complex64)
+    out = jax.eval_shape(
+        lambda d: recon_frames(d, cfg, npe1work=204, prof_slide=21, nz=3), data
+    )
+    assert out.shape == (3, n, n)
+    out = jax.eval_shape(
+        lambda d: recon_frames_incremental(
+            d, cfg, npe1work=204, prof_slide=21, nz=3
+        ),
+        data,
+    )
+    assert out.shape == (3, n, n)

@@ -345,3 +345,74 @@ def test_grid_pallas_batched_kernel_on_tpu(rng):
     # interpret; allow accumulation-order noise margin on hardware)
     err = _nrmse(batched, loop)
     assert err < 1e-6, f"batched vs loop kernel on TPU: {err:.2e}"
+
+
+@pytest.mark.parametrize("gridos", [1.5, 2.5])
+def test_nondefault_gridos_kernels_on_tpu(rng, gridos):
+    """The round-4 any-osf generalizations, compiled through Mosaic on real
+    hardware (the CPU tests run them in interpret mode only): windowed
+    gridder with a non-identity radius map, affine-lattice degrid, and the
+    exact-lattice gridder — each vs its dense XLA golden on the CPU
+    backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from tron_tpu.config import AngleScheme
+    from tron_tpu.kernels.kb import kb_beta
+    from tron_tpu.ops.degrid import _degrid_dense
+    from tron_tpu.ops.degrid_pallas import degrid_radial2d_pallas
+    from tron_tpu.ops.grid import grid_radial2d
+    from tron_tpu.ops.grid_pallas import (
+        grid_radial2d_pallas,
+        grid_radial2d_pallas_exact,
+    )
+    from tron_tpu.trajectory import spoke_angles
+    from tron_tpu.utils.xfer import to_device, to_host
+
+    nro, C, npe = 512, 2, 33
+    nxos = int((nro // 2) * gridos)  # 384 / 640 — tileable at 128
+    beta = kb_beta(KW, gridos)
+    angles = jnp.asarray(spoke_angles(npe, AngleScheme.GOLDEN, 3))
+    ang_np = np.asarray(angles)
+
+    # 1) windowed gridder, trunc-resampled radius map (src/tron.cu:517)
+    data = (
+        rng.standard_normal((C, npe, nro)) + 1j * rng.standard_normal((C, npe, nro))
+    ).astype(np.complex64)
+    d = to_device(data)
+    got = to_host(grid_radial2d_pallas(d, angles, nxos, KW, beta))
+    want = _on_cpu(
+        lambda: jax.jit(grid_radial2d, static_argnums=(2, 3, 4))(
+            data, ang_np, nxos, KW, beta
+        )
+    )
+    err = _nrmse(got, want)
+    assert err < 1e-2, f"grid osf={gridos}: {err:.2e}"
+
+    # 2) exact-lattice gridder (CGNR pair adjoint at any osf); readout 0
+    #    is outside the kernel's band clamp by convention — zero it so the
+    #    raw-rows dense golden agrees
+    data0 = np.copy(data)
+    data0[..., 0] = 0
+    got = to_host(grid_radial2d_pallas_exact(to_device(data0), angles, nxos, KW, beta))
+    want = _on_cpu(
+        lambda: jax.jit(
+            grid_radial2d, static_argnums=(2, 3, 4), static_argnames=("raw_rows",)
+        )(data0, ang_np, nxos, KW, beta, raw_rows=True)
+    )
+    err = _nrmse(got, want)
+    assert err < 1e-2, f"exact-lattice grid osf={gridos}: {err:.2e}"
+
+    # 3) affine-lattice degrid (clip convention, interior columns)
+    g = (
+        rng.standard_normal((C, nxos, nxos)) + 1j * rng.standard_normal((C, nxos, nxos))
+    ).astype(np.complex64)
+    got = to_host(degrid_radial2d_pallas(to_device(g), angles, nro, KW, beta))
+    want = _on_cpu(
+        lambda: jax.jit(lambda x: _degrid_dense(x, ang_np, nro, KW, beta, wrap=False))(g)
+    )
+    ekw = int(np.ceil(KW * nro / nxos)) + 2
+    ro = np.arange(nro)
+    m = (ro >= ekw) & (ro < nro - ekw) & (ro != 0)
+    err = _nrmse(got[..., m], want[..., m])
+    assert err < 1e-2, f"degrid osf={gridos}: {err:.2e}"

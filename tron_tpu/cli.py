@@ -85,9 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "partial grids psum over a 'spoke' mesh axis)")
     p.add_argument("--stream", action="store_true",
                    help="stream profile windows from disk instead of loading "
-                   "the whole acquisition (adjoint 2D recon, nt == 1; the "
-                   "native windowed .ra reader feeds one compiled frame-batch "
-                   "program block by block)")
+                   "the whole acquisition (adjoint 2D recon, any nt, "
+                   "complex/float/fp16-pair inputs; the native windowed .ra "
+                   "reader feeds one compiled frame-batch program block by "
+                   "block, with pipelined readback written straight to the "
+                   "output file)")
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default="img_tron.ra")
     return p

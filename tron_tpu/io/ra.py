@@ -237,7 +237,14 @@ class RaWriter:
         if self._native:
             self._native.ra_write_region(self.tmp, off, buf)
         else:
-            os.pwrite(self._fd, memoryview(buf).cast("B"), self._data0 + off)
+            # os.pwrite may write short (Linux caps one call at ~2 GiB):
+            # loop until the whole region lands
+            view = memoryview(buf).cast("B")
+            pos = self._data0 + off
+            while len(view):
+                n = os.pwrite(self._fd, view, pos)
+                view = view[n:]
+                pos += n
 
     def close(self) -> None:
         os.close(self._fd)

@@ -127,7 +127,14 @@ def nufft_adjoint_exact(
     A^H the CGNR operator pair needs when gridos != 2 (identical to
     nufft_adjoint(apply_sdc=False) at the default gridos=2).  No SDC is
     applied (the solver supplies its own weights).  Pallas windowed
-    kernel when the grid tiles, dense exact-lattice gridder otherwise."""
+    kernel when the grid tiles, dense exact-lattice gridder otherwise.
+
+    Convention: readout 0 (radius -nxos/2, one sample per spoke at the
+    unpaired Nyquist edge) is NEVER gridded — masked here so both backends
+    agree (the Pallas band clamp excludes it by construction; the dense
+    raw-rows gridder would include it).  cgnr_radial2d additionally
+    weights it out of the problem (w[0] = 0)."""
+    data = data.at[..., 0].set(0)
     npe, nro = data.shape[-2:]
     n = nro // 2
     nxos = int(n * cfg.gridos)

@@ -319,7 +319,10 @@ def degrid_radial2d_pallas(
     if nro % 2 != 0 or n % tile != 0 or n // tile < 2:
         from tron_tpu.ops.degrid import _degrid_dense
 
-        out = _degrid_dense(kgrid, angles, nro, kernwidth, beta)
+        # clip convention (wrap=False) to match the kernel: callers that
+        # want the reference's periodic wrap patch the boundary readouts
+        # themselves (nufft._patch_degrid_wrap_edges)
+        out = _degrid_dense(kgrid, angles, nro, kernwidth, beta, wrap=False)
     else:
         from tron_tpu.ops.grid_pallas import _default_tuning
 

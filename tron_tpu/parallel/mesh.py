@@ -75,7 +75,7 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
             from tron_tpu.ops.grid_pallas import to_sample_planes
 
             w = sdc_weights(cfg, nro, npe1work).astype(d_local.dtype)
-            planes = to_sample_planes(d_local * w, nro)
+            planes = to_sample_planes(d_local * w, int((nro // 2) * cfg.gridos))
 
         if use_inc:
             # per-shard telescoping (recon.incremental_scan): each shard's

@@ -93,8 +93,9 @@ def recon_frames(
         # each frame is then a plain dynamic slice of the spoke axis
         from tron_tpu.ops.grid_pallas import to_sample_planes
 
+        nxos = int((nro // 2) * cfg.gridos)
         w = sdc_weights(cfg, nro, npe1work).astype(data.dtype)
-        planes = to_sample_planes(data * w, nro)
+        planes = to_sample_planes(data * w, nxos)
         scheme = cfg.scheme_for("adjoint")
 
         def one_p(z):
@@ -185,7 +186,7 @@ def recon_frames_incremental(
             to_sample_planes,
         )
 
-        src = to_sample_planes(dw, nro)
+        src = to_sample_planes(dw, nxos)
         spoke_axis = 0
 
         def gridw(win, angles):
@@ -583,8 +584,7 @@ def _koosh_adjoint_pipelined(
     thread streams block b's images to the host while the device computes
     block b+1 (the per-frame async D2H overlap of the reference driver,
     `src/tron.cu:767-781`; previously one serial whole-stack transfer).
-    d: (nt*nc, npe1, nro, npe2) -> (npe2*nzi, nt, [nc,] n, n) host array,
-    identical values to the single-jit _koosh_adjoint_device.
+    d: (nt*nc, npe1, nro, npe2) -> (npe2*nzi, nt, [nc,] n, n) host array.
     ``half``: f16 readback (see _fetch_host; exact under a --half store)."""
     from concurrent.futures import ThreadPoolExecutor
 
@@ -619,30 +619,6 @@ def _koosh_adjoint_pipelined(
         while pending:
             drain(*pending.pop(0))
     return out
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cfg2", "work", "slide", "nzi", "nt", "nc")
-)
-def _koosh_adjoint_device(d, cfg2, work, slide, nzi, nt, nc):
-    """Device side of the -3 adjoint: centered kz IFFT (unnormalized,
-    cuFFT-style) + slice-batched 2D frame recons, all under one jit.
-    d: (nt*nc, npe1, nro, npe2) -> (npe2*nzi, nt, n, n)."""
-    npe1, nro, npe2 = d.shape[-3], d.shape[-2], d.shape[-1]
-    sl = jnp.fft.fftshift(
-        jnp.fft.ifft(jnp.fft.ifftshift(d, axes=-1), axis=-1), axes=-1
-    ) * npe2
-    sl = jnp.moveaxis(sl, -1, 0).reshape(npe2, nt, nc, npe1, nro)
-
-    def per_slice(sd):                     # (nt, nc, npe1, nro)
-        return jax.lax.map(
-            lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
-        )                                  # (nt, nzi, n, n)
-
-    bs = _koosh_slice_batch(cfg2, nc, nro)  # vmem-derived, see the helper
-    out = jax.lax.map(per_slice, sl, batch_size=min(npe2, bs))
-    # (npe2, nt, nzi, n, n) -> (npe2*nzi, nt, n, n)
-    return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg2", "npe1", "nro"))

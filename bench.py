@@ -358,7 +358,32 @@ def main():
     # min-of-reps (robust to one-off tunnel stalls) holds within +-10%.
     # The end-to-end rate (host layout + tunnel transfers) is reported
     # separately.
-    from tron_tpu.recon import _koosh_adjoint_device, recon_radial2d
+    import functools
+
+    from tron_tpu.recon import _koosh_slice_batch, recon_frames, recon_radial2d
+
+    @functools.partial(
+        jax.jit, static_argnames=("cfg2", "work", "slide", "nzi", "nt", "nc")
+    )
+    def _koosh_device(d, cfg2, work, slide, nzi, nt, nc):
+        """Device side of the -3 adjoint under ONE jit (kz IFFT +
+        slice-batched 2D frame recons) — the pure-compute harness for the
+        device rate; the production path is the pipelined driver
+        (recon._koosh_adjoint_pipelined), which interleaves readback."""
+        npe1, nro, npe2 = d.shape[-3], d.shape[-2], d.shape[-1]
+        sl = jnp.fft.fftshift(
+            jnp.fft.ifft(jnp.fft.ifftshift(d, axes=-1), axis=-1), axes=-1
+        ) * npe2
+        sl = jnp.moveaxis(sl, -1, 0).reshape(npe2, nt, nc, npe1, nro)
+
+        def per_slice(sd):
+            return jax.lax.map(
+                lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
+            )
+
+        bs = _koosh_slice_batch(cfg2, nc, nro)
+        out = jax.lax.map(per_slice, sl, batch_size=min(npe2, bs))
+        return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
 
     def koosh():
         nro_k = 256
@@ -376,7 +401,7 @@ def main():
             d = to_device(dk)
 
             def run_k(x):
-                out = _koosh_adjoint_device(x, cfg2, work_k, work_k, 1, 1, nc)
+                out = _koosh_device(x, cfg2, work_k, work_k, 1, 1, nc)
                 return float(jnp.sum(jnp.abs(out)))
 
             run_k(d)

@@ -391,3 +391,74 @@ def test_half_readback_exact(rng):
         np.stack([fullk.real, fullk.imag]).astype(np.float16),
         np.stack([halfk.real, halfk.imag]).astype(np.float16),
     )
+
+
+def test_stream_compress_matches_in_memory(tmp_path, rng):
+    """--stream --compress: the streamed path computes the virtual-coil
+    basis from a disk-only Gram pass (recon._stream_coil_basis) and
+    projects each block before upload; the in-memory path compresses on
+    device.  Both keep the same top-ncomp subspace, and SoS is invariant
+    under any unitary basis choice within it, so the combined images must
+    agree across several blocks incl. the realigned tail."""
+    nc, nro, npe1 = 6, 32, 200
+    base = (rng.standard_normal((2, 1, nro, npe1, 1)) +
+            1j * rng.standard_normal((2, 1, nro, npe1, 1))).astype(np.complex64)
+    base[1] *= 0.3          # distinct eigenvalues -> well-defined subspace
+    mix = (rng.standard_normal((nc, 2)) +
+           1j * rng.standard_normal((nc, 2))).astype(np.complex64)
+    d = np.einsum("ck,ktrpz->ctrpz", mix, base).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", "--compress", "2", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    assert ra_query(a).dims == ra_query(b).dims
+    xa, xb = np.abs(ra_read(a)), np.abs(ra_read(b))
+    np.testing.assert_allclose(xa, xb, rtol=2e-3, atol=1e-4 * float(xa.max()))
+
+
+def test_stream_compress_combine_none(tmp_path, rng):
+    """--stream --compress --combine none writes ncomp virtual-coil frames
+    region-by-region; the per-pixel coil-vector NORM (basis-invariant)
+    must match the in-memory compressed path."""
+    nc, nro, npe1 = 4, 32, 120
+    base = (rng.standard_normal((2, 1, nro, npe1, 1)) +
+            1j * rng.standard_normal((2, 1, nro, npe1, 1))).astype(np.complex64)
+    base[1] *= 0.25
+    mix = (rng.standard_normal((nc, 2)) +
+           1j * rng.standard_normal((nc, 2))).astype(np.complex64)
+    d = np.einsum("ck,ktrpz->ctrpz", mix, base).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-u", "0.5", "-d", "4", "--compress", "2",
+            "--combine", "none", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    ha, hb = ra_query(a), ra_query(b)
+    assert ha.dims == hb.dims and ha.dims[0] == 2  # ncomp virtual coils
+    na = np.linalg.norm(ra_read(a), axis=0)
+    nb = np.linalg.norm(ra_read(b), axis=0)
+    np.testing.assert_allclose(na, nb, rtol=2e-3, atol=1e-4 * float(na.max()))
+
+
+def test_stream_coil_basis_chunked(tmp_path, rng):
+    """_stream_coil_basis: the chunked disk Gram must equal the one-shot
+    whole-file Gram (same eigenbasis) regardless of chunk size, per
+    repetition."""
+    from tron_tpu.recon import _stream_coil_basis
+
+    nc, nt, nro, npe1 = 3, 2, 16, 50
+    d = (rng.standard_normal((nc, nt, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, nt, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    b1 = _stream_coil_basis(p, npe1, 2, chunk=7)
+    b2 = _stream_coil_basis(p, npe1, 2, chunk=npe1)
+    assert b1.shape == (nt, nc, 2)
+    # eigenvectors are phase-ambiguous; compare projectors P = B B^H
+    for t in range(nt):
+        P1 = b1[t] @ b1[t].conj().T
+        P2 = b2[t] @ b2[t].conj().T
+        np.testing.assert_allclose(P1, P2, atol=1e-5)

@@ -188,7 +188,7 @@ def _stream_to_file(args, cfg, hdr, smesh) -> int:
     n = nro // 2
     nc_out = nc if cfg.coil_combine == "none" else 1
     if cfg.coil_combine == "none" and 0 < cfg.coil_compress < nc:
-        nc_out = cfg.coil_compress  # unreachable today (--compress rejected)
+        nc_out = cfg.coil_compress  # blocks carry ncomp virtual coils
     base_dims = (nc_out, nt, n, n, nz)
     dims = (2, *base_dims) if args.half else base_dims
     dtype = np.float16 if args.half else np.complex64

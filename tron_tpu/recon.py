@@ -341,6 +341,33 @@ def recon_radial2d(
         return out.reshape(nz, nc, nt, npe1, nro)
 
 
+def _stream_coil_basis(path, npe1: int, ncomp: int, chunk: int = 4096):
+    """Global SVD coil-compression basis from a windowed disk pass.
+
+    Accumulates the whole-acquisition coil Gram G_t = X_t X_t^H per
+    repetition in chunks of profiles (the file never fully enters RAM),
+    then takes the top-``ncomp`` eigenvectors — the same
+    Buehrer/Huang SCC basis ops.coil.coil_compress computes in-memory
+    (there from the stacked data directly; identical subspace).  Returns
+    (nt, nc, ncomp) complex64.
+    """
+    from tron_tpu.io.native import ra_read_profiles
+
+    G = None
+    for pe0 in range(0, npe1, chunk):
+        blk = ra_read_profiles(path, pe0, min(chunk, npe1 - pe0))
+        nc, nt = blk.shape[:2]
+        X = blk.transpose(1, 0, 2, 3).reshape(nt, nc, -1)
+        # per-chunk Gram in c64 BLAS, accumulated in c128
+        g = np.einsum("tcm,tdm->tcd", X, X.conj()).astype(np.complex128)
+        G = g if G is None else G + g
+    basis = np.empty((G.shape[0], G.shape[1], ncomp), np.complex64)
+    for t in range(G.shape[0]):
+        _, vecs = np.linalg.eigh(G[t])          # ascending eigenvalues
+        basis[t] = vecs[:, ::-1][:, :ncomp]     # top-ncomp components
+    return basis
+
+
 def recon_radial2d_streaming(
     path,
     cfg: ReconConfig,
@@ -387,7 +414,10 @@ def recon_radial2d_streaming(
     for coil_combine='none'; with half, (2, bf, nt, [nc,] n, n) float16.
     Inputs may be complex, plain float, or float16 re/im-pair files (the
     stride-aware windowed reader handles all three); repetitions (nt > 1)
-    loop host-side per block, reusing one compiled program.
+    loop host-side per block, reusing one compiled program.  Coil
+    compression (cfg.coil_compress) runs a disk-only first pass for the
+    global virtual-coil basis (_stream_coil_basis), then projects each
+    block before upload — shrinking H2D bytes by ncomp/nc.
 
     Without ``writer``, returns all frames stacked: (nz, nt, [nc,] n, n)
     complex64, or (2, nz, nt, [nc,] n, n) float16 when half.
@@ -402,10 +432,15 @@ def recon_radial2d_streaming(
         raise ValueError("streaming recon supports npe2 == 1 (use -3 for stacks)")
     if not cfg.adjoint or cfg.koosh:
         raise ValueError("streaming recon is adjoint (-a), non-koosh only")
+    basis = None
     if 0 < cfg.coil_compress < nc:
-        # SVD compression needs a global (whole-acquisition) basis; a
-        # per-block basis would change virtual coils across blocks
-        raise ValueError("--compress is not supported with --stream")
+        # SVD compression needs a global (whole-acquisition) basis (a
+        # per-block basis would change virtual coils across blocks), so a
+        # cheap disk-only first pass accumulates the nc x nc coil Gram
+        # chunk by chunk and fixes the basis before any block uploads.
+        # Bonus: projecting each block to ncomp virtual coils BEFORE the
+        # H2D upload shrinks transfer bytes by ncomp/nc.
+        basis = _stream_coil_basis(path, npe1, cfg.coil_compress)
     work, slide, nz = cfg.frame_geometry(nro, npe1)
 
     bf = min(batch_frames, nz)
@@ -418,6 +453,11 @@ def recon_radial2d_streaming(
         blk = ra_read_profiles(path, pe0, work + (bf - 1) * slide)
         # (nc, nt, nro, npe) -> (nt, nc, npe, nro)
         d = np.ascontiguousarray(blk.transpose(1, 0, 3, 2))
+        if basis is not None:
+            # per-repetition projection onto the global virtual-coil basis
+            d = np.ascontiguousarray(
+                np.einsum("tck,tcpr->tkpr", basis.conj(), d)
+            ).astype(np.complex64)
         return to_device(d), pe0
 
     from concurrent.futures import ThreadPoolExecutor

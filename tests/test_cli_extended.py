@@ -462,3 +462,22 @@ def test_stream_coil_basis_chunked(tmp_path, rng):
         P1 = b1[t] @ b1[t].conj().T
         P2 = b2[t] @ b2[t].conj().T
         np.testing.assert_allclose(P1, P2, atol=1e-5)
+
+
+def test_stream_walsh_and_cgnr(tmp_path, rng):
+    """--stream dispatches whatever recon_frames does per frame — Walsh
+    combine and CGNR (-i) included; both must match their in-memory
+    counterparts across blocks."""
+    nc, nro, npe1 = 2, 32, 120
+    d = (rng.standard_normal((nc, 1, nro, npe1, 1)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, 1))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    for extra in (["--combine", "walsh"], ["-i", "2"]):
+        a = tmp_path / f"a{extra[-1]}.ra"
+        b = tmp_path / f"b{extra[-1]}.ra"
+        args = ["-a", "-G", "-u", "0.5", "-d", "4", *extra, str(p)]
+        assert main(args + [str(a)]) == 0
+        assert main(args + [str(b), "--stream"]) == 0
+        assert ra_query(a).dims == ra_query(b).dims
+        np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=1e-5)

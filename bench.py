@@ -587,6 +587,45 @@ def main():
 
     _attempt("walsh_cost", walsh_cost, RESULT)
 
+    # --- full-scale end-to-end stream wall ----------------------------------
+    # The whole-production-pipeline number: 956-frame whole-body --stream
+    # --half through the real CLI (windowed native disk reads, 3-stage
+    # loader/compute/reader overlap, region writes into the output .ra).
+    # Uses the fp16-pair fixture when present (halved upload bytes — the
+    # tunnel's up-leg is the wall) else the complex64 one; skips silently
+    # if neither synthetic fixture exists on this machine.  min-of-2 is
+    # the link-capability number (the tunnel rate swings ~4x run-to-run).
+    def stream_wall():
+        import tempfile
+
+        from tron_tpu import cli as tron_cli
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        fixture = None
+        for name in ("ex_whole_body_f16.ra", "ex_whole_body.ra"):
+            cand = os.path.join(here, "output", name)
+            if os.path.exists(cand):
+                fixture = cand
+                break
+        if fixture is None:
+            return  # fixture not synthesized here: not an error
+        args = ["-a", "-G", "-u", "0.4", "-d", "21", "--stream", "--half",
+                fixture]
+        walls = []
+        with tempfile.TemporaryDirectory() as td:
+            out = os.path.join(td, "img.ra")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rc = tron_cli.main(args + [out])
+                if rc != 0:
+                    raise RuntimeError(f"stream CLI rc={rc}")
+                walls.append(time.perf_counter() - t0)
+        RESULT["stream_wall_s"] = round(min(walls), 2)
+        RESULT["stream_fixture"] = os.path.basename(fixture)
+        RESULT["stream_frames"] = 956
+
+    _attempt("stream_wall", stream_wall, RESULT, retries=1)
+
     return 0
 
 

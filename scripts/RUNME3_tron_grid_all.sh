@@ -46,6 +46,17 @@ if [ "${TRON_FULLSCALE:-1}" != "0" ]; then
   done
   python scripts/dataset_metrics.py output/img_cmt_tron.ra --data output/ex_whole_body.ra \
     --nc 6 -G -u 0.4 -d 21 --frames 0,400,-1 --label whole_body --oracle
+
+  # fp16-pair input variant: halves the acquisition bytes (and the H2D
+  # upload leg, which is the tunnel-bound stream's wall); input
+  # quantization costs 1.9e-4 NRMSE, under the 5.8e-4 bf16 compute floor
+  [ -f output/ex_whole_body_f16.ra ] || \
+    python -m tron_tpu.tools.ra_tool half \
+      output/ex_whole_body.ra output/ex_whole_body_f16.ra
+  for i in 1 2 3; do
+    timed python -m tron_tpu.cli -a -G -u 0.4 -d 21 -v --stream --half \
+      output/ex_whole_body_f16.ra output/img_cmt_tron_f16.ra
+  done
 fi
 
 # 4) optic-nerve-class series (reference: tron -u 0.5 -a -G, RUNME3:16-18;

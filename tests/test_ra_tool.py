@@ -65,3 +65,32 @@ def test_cli_half_output_and_pair_input(tmp_path):
     assert ra_query(rec).dims == (1, 1, n, n, 1)
     m = np.abs(ra_read(rec)[0, 0, :, :, 0])
     assert np.isfinite(m).all() and m.max() > 0
+
+
+def test_half_subcommand_roundtrip(tmp_path, rng):
+    """ra_tool half: complex -> fp16 re/im-pair (leading dim of 2) and back;
+    the pair file must be exactly what the streaming reader and --half
+    outputs use, and the back-conversion must equal an f16 quantization."""
+    from tron_tpu.tools.ra_tool import main as ra_main
+
+    x = (rng.standard_normal((3, 1, 8, 5, 1)) +
+         1j * rng.standard_normal((3, 1, 8, 5, 1))).astype(np.complex64)
+    c = tmp_path / "c.ra"
+    h = tmp_path / "h.ra"
+    r = tmp_path / "r.ra"
+    ra_write(x, c)
+    assert ra_main(["half", str(c), str(h)]) == 0
+    hq = ra_query(h)
+    assert hq.eltype == 3 and hq.elbyte == 2
+    assert hq.dims == (2, 3, 1, 8, 5, 1)
+    assert ra_main(["half", str(h), str(r)]) == 0
+    back = ra_read(r)
+    assert back.dtype == np.complex64 and back.shape == x.shape
+    want = (x.real.astype(np.float16).astype(np.float32)
+            + 1j * x.imag.astype(np.float16).astype(np.float32))
+    np.testing.assert_array_equal(back, want.astype(np.complex64))
+
+    # non-complex, non-pair input is an error
+    f = tmp_path / "f.ra"
+    ra_write(np.zeros((3, 3), np.float32), f)
+    assert ra_main(["half", str(f), str(tmp_path / "o.ra")]) == 1

@@ -9,6 +9,7 @@ surface exists.  Usage:
     python -m tron_tpu.tools.ra_tool convert file.ra out.ra --eltype 3 --elbyte 2
     python -m tron_tpu.tools.ra_tool diff a.ra b.ra
     python -m tron_tpu.tools.ra_tool squash file.ra       # drop size-1 dims
+    python -m tron_tpu.tools.ra_tool half c64.ra f16.ra   # <-> fp16 pair
 """
 
 from __future__ import annotations
@@ -48,6 +49,15 @@ def main(argv=None) -> int:
     s = sub.add_parser("squash")
     s.add_argument("file")
 
+    hp = sub.add_parser(
+        "half",
+        help="complex file -> float16 re/im-pair file (leading dim of 2, "
+        "the raread.m storage trick --half outputs use; halves bytes and "
+        "upload time of streamed recons) — or back, if given a pair file",
+    )
+    hp.add_argument("file")
+    hp.add_argument("out")
+
     args = p.parse_args(argv)
 
     if args.cmd == "query":
@@ -72,6 +82,24 @@ def main(argv=None) -> int:
         arr = ra_read(args.file)
         dims = tuple(d for d in arr.shape if d != 1) or (1,)
         ra_write(arr.reshape(-1, order="F"), args.file, dims=dims)
+        return 0
+    if args.cmd == "half":
+        arr = ra_read(args.file)
+        if np.iscomplexobj(arr):
+            pair = np.empty((2,) + arr.shape, np.float16)
+            pair[0] = arr.real.astype(np.float16)
+            pair[1] = arr.imag.astype(np.float16)
+            ra_write(pair, args.out)
+        elif arr.ndim >= 2 and arr.shape[0] == 2:
+            ra_write(
+                (arr[0].astype(np.float32) + 1j * arr[1].astype(np.float32)
+                 ).astype(np.complex64),
+                args.out,
+            )
+        else:
+            print("error: need a complex file or a re/im-pair file",
+                  file=sys.stderr)
+            return 1
         return 0
     if args.cmd == "diff":
         a = ra_read(args.a)

@@ -360,30 +360,28 @@ def main():
     # separately.
     import functools
 
-    from tron_tpu.recon import _koosh_slice_batch, recon_frames, recon_radial2d
+    from tron_tpu.recon import (
+        _koosh_kz_ifft,
+        _koosh_slice_batch,
+        _koosh_slice_block,
+        recon_radial2d,
+    )
 
     @functools.partial(
         jax.jit, static_argnames=("cfg2", "work", "slide", "nzi", "nt", "nc")
     )
     def _koosh_device(d, cfg2, work, slide, nzi, nt, nc):
-        """Device side of the -3 adjoint under ONE jit (kz IFFT +
-        slice-batched 2D frame recons) — the pure-compute harness for the
-        device rate; the production path is the pipelined driver
-        (recon._koosh_adjoint_pipelined), which interleaves readback."""
-        npe1, nro, npe2 = d.shape[-3], d.shape[-2], d.shape[-1]
-        sl = jnp.fft.fftshift(
-            jnp.fft.ifft(jnp.fft.ifftshift(d, axes=-1), axis=-1), axes=-1
-        ) * npe2
-        sl = jnp.moveaxis(sl, -1, 0).reshape(npe2, nt, nc, npe1, nro)
-
-        def per_slice(sd):
-            return jax.lax.map(
-                lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
-            )
-
-        bs = _koosh_slice_batch(cfg2, nc, nro)
-        out = jax.lax.map(per_slice, sl, batch_size=min(npe2, bs))
-        return jnp.moveaxis(out, 2, 1).reshape(npe2 * nzi, nt, *out.shape[-2:])
+        """Device side of the -3 adjoint under ONE jit — the pure-compute
+        harness for the device rate, composed from the SAME production
+        helpers the pipelined driver runs (recon._koosh_kz_ifft +
+        _koosh_slice_block as a single whole-stack block), so the measured
+        program cannot drift from the shipped one."""
+        npe2 = d.shape[-1]
+        sl = _koosh_kz_ifft(d, npe2)
+        bs = _koosh_slice_batch(cfg2, nc, d.shape[-2])
+        return _koosh_slice_block(
+            sl, 0, cfg2, work, slide, nzi, nt, nc, min(npe2, bs), npe2
+        )
 
     def koosh():
         nro_k = 256
@@ -609,6 +607,16 @@ def main():
                 break
         if fixture is None:
             return  # fixture not synthesized here: not an error
+        # derive the frame count from the fixture actually found (a stale
+        # or resized fixture must not be recorded as the 956-frame run)
+        from tron_tpu.config import ReconConfig as _RC
+        from tron_tpu.io import ra_query
+        from tron_tpu.io.native import radial_dims
+
+        _, _, s_nro, s_npe1, _, _ = radial_dims(ra_query(fixture))
+        _cfg_s = _RC(golden_angle=True, data_undersamp=0.4, prof_slide=21,
+                     adjoint=True)
+        _, _, s_nz = _cfg_s.frame_geometry(s_nro, s_npe1)
         args = ["-a", "-G", "-u", "0.4", "-d", "21", "--stream", "--half",
                 fixture]
         walls = []
@@ -620,9 +628,12 @@ def main():
                 if rc != 0:
                     raise RuntimeError(f"stream CLI rc={rc}")
                 walls.append(time.perf_counter() - t0)
+                if walls[-1] > 180:
+                    break  # tunnel stall window: keep the partial number
+                    # rather than burning the watchdog budget on rep 2
         RESULT["stream_wall_s"] = round(min(walls), 2)
         RESULT["stream_fixture"] = os.path.basename(fixture)
-        RESULT["stream_frames"] = 956
+        RESULT["stream_frames"] = s_nz
 
     _attempt("stream_wall", stream_wall, RESULT, retries=1)
 

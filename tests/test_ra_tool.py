@@ -94,3 +94,9 @@ def test_half_subcommand_roundtrip(tmp_path, rng):
     f = tmp_path / "f.ra"
     ra_write(np.zeros((3, 3), np.float32), f)
     assert ra_main(["half", str(f), str(tmp_path / "o.ra")]) == 1
+    # a 5-D plain-float file whose first dim happens to be 2 (a 2-coil
+    # acquisition) is NOT the 6-D pair convention — must be rejected, not
+    # silently mis-combined into complex (round-4 review finding)
+    g = tmp_path / "g.ra"
+    ra_write(np.zeros((2, 1, 8, 5, 1), np.float32), g)
+    assert ra_main(["half", str(g), str(tmp_path / "o2.ra")]) == 1

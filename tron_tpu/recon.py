@@ -452,12 +452,15 @@ def recon_radial2d_streaming(
         pe0 = z0 * slide
         blk = ra_read_profiles(path, pe0, work + (bf - 1) * slide)
         # (nc, nt, nro, npe) -> (nt, nc, npe, nro)
-        d = np.ascontiguousarray(blk.transpose(1, 0, 3, 2))
         if basis is not None:
             # per-repetition projection onto the global virtual-coil basis
+            # (einsum reads the transposed view directly — no pre-copy)
             d = np.ascontiguousarray(
-                np.einsum("tck,tcpr->tkpr", basis.conj(), d)
+                np.einsum("tck,tcpr->tkpr", basis.conj(),
+                          blk.transpose(1, 0, 3, 2))
             ).astype(np.complex64)
+        else:
+            d = np.ascontiguousarray(blk.transpose(1, 0, 3, 2))
         return to_device(d), pe0
 
     from concurrent.futures import ThreadPoolExecutor

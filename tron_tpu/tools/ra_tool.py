@@ -90,7 +90,9 @@ def main(argv=None) -> int:
             pair[0] = arr.real.astype(np.float16)
             pair[1] = arr.imag.astype(np.float16)
             ra_write(pair, args.out)
-        elif arr.ndim >= 2 and arr.shape[0] == 2:
+        elif arr.ndim == 6 and arr.shape[0] == 2:
+            # the 6-D re/im-pair convention (io.native.radial_dims); a 5-D
+            # plain-float file with 2 coils is NOT a pair — reject below
             ra_write(
                 (arr[0].astype(np.float32) + 1j * arr[1].astype(np.float32)
                  ).astype(np.complex64),

@@ -223,3 +223,36 @@ def test_recon_radial2d_incremental_driver(rng):
     cfg_lin = dataclasses.replace(base, golden_angle=False, incremental=True)
     cfg_lin0 = dataclasses.replace(cfg_lin, incremental=False)
     assert np.array_equal(recon_radial2d(data, cfg_lin0), recon_radial2d(data, cfg_lin))
+
+
+def test_incremental_block_size_invariance(rng):
+    """inc_block (frames per telescoping scan step, a pure perf knob) must
+    not change values: the per-frame cumulative addition order is identical
+    at any block size."""
+    import dataclasses
+
+    from tron_tpu.config import KernelTuning
+    from tron_tpu.recon import recon_frames_incremental
+
+    nc, nro, npe1 = 2, 32, 92
+    cfg0 = ReconConfig(
+        adjoint=True, golden_angle=True, data_undersamp=0.5, prof_slide=4,
+        backend="jnp", matmul_dtype="float32",
+    )
+    work, slide, nz = cfg0.frame_geometry(nro, npe1)
+    data = (
+        rng.standard_normal((nc, npe1, nro))
+        + 1j * rng.standard_normal((nc, npe1, nro))
+    ).astype(np.complex64)
+    d = jnp.asarray(data)
+
+    outs = []
+    for bs in (1, 3, 8):
+        cfg = dataclasses.replace(
+            cfg0, tuning=dataclasses.replace(KernelTuning(), inc_block=bs)
+        )
+        outs.append(np.asarray(
+            recon_frames_incremental(d, cfg, work, slide, nz)
+        ))
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=2e-6, atol=1e-7)

@@ -69,6 +69,14 @@ class KernelTuning:
     # — ops.degrid_pallas._degrid_kernel(batched=True).  Both bitwise-equal
     # to the loop kernels in float32 mode.
     batched: bool = False
+    # incremental (telescoping) scan: frames per lax.scan step — one
+    # batched delta gridding + cumulative sum + batched epilogue per step
+    # (recon.incremental_scan).  Measured at whole-body geometry the cost
+    # is MONOTONE in the block (882 Msamp/s at 1 vs 786 at 8 vs 531 at 32
+    # — the batched form materializes bs delta grids + a cumsum where
+    # bs=1 lets XLA accumulate the carried grid in place), so the default
+    # is the degenerate block
+    inc_block: int = 1
     # megacore portability: re-run the operand-scratch scrub at every tile's
     # first chunk step (k == 0) instead of once per grid.  The one-time
     # scrub assumes a single TensorCore executes the whole grid (true on
@@ -114,6 +122,7 @@ class KernelTuning:
             vmem_limit=gi("TRON_VMEM_LIMIT", d.vmem_limit),
             vmem_budget=gi("TRON_VMEM_BUDGET", d.vmem_budget),
             koosh_batch=gi("TRON_KOOSH_BATCH", d.koosh_batch),
+            inc_block=gi("TRON_INC_BS", d.inc_block),
             center_tile=gi("TRON_CT", d.center_tile),
             batched=gi("TRON_BATCHED", 1 if d.batched else 0) != 0,
             scrub_per_tile=gi(

@@ -125,6 +125,7 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
             return incremental_scan(
                 window, angles_of, gridw, frame_image,
                 npe1work, prof_slide, per, z0=fid * per, spoke_axis=spoke_axis,
+                block=cfg.kernel_tuning(nxos).inc_block,
             )
 
         def one(i):

@@ -157,9 +157,11 @@ def recon_frames_incremental(
     angle, same samples), so only fp32 accumulation-order noise survives
     (~1e-7/step random walk, measured ~1e-6 over 956 frames).
 
-    Frames run in blocks of 8: one batched delta gridding + an in-block
-    cumulative sum + a batched epilogue per lax.scan step, keeping the same
-    kernel batching as recon_frames.
+    Frames run in blocks of tuning.inc_block per lax.scan step (one batched
+    delta gridding + an in-block cumulative sum + a batched epilogue); the
+    measured optimum at whole-body geometry is the degenerate block of 1 —
+    XLA then accumulates the carried grid in place instead of
+    materializing bs delta grids + a cumsum (882 vs 786 Msamp/s, NOTES).
     """
     from tron_tpu.kernels.kb import kb_beta
     from tron_tpu.nufft import (
@@ -215,13 +217,14 @@ def recon_frames_incremental(
     return incremental_scan(
         window, angles_of, gridw, frame_image,
         npe1work, prof_slide, nz, spoke_axis=spoke_axis,
+        block=cfg.kernel_tuning(nxos).inc_block,
     )
 
 
 def incremental_scan(
     window, angles_of, gridw, frame_image,
     work: int, slide: int, nframes: int,
-    z0: jnp.ndarray | int = 0, spoke_axis: int = 0,
+    z0: jnp.ndarray | int = 0, spoke_axis: int = 0, block: int = 8,
 ) -> jnp.ndarray:
     """The telescoping scan core, shared by the single-device and the
     frame-sharded schedulers.  Produces frame_image outputs for frames
@@ -253,7 +256,7 @@ def incremental_scan(
         return gridw(win, ang) * corr
 
     nrest = nframes - 1
-    bs = min(8, nrest)
+    bs = min(max(1, block), nrest)
     nblk = -(-nrest // bs)
 
     def step(kg, b):

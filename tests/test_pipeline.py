@@ -256,3 +256,36 @@ def test_incremental_block_size_invariance(rng):
         ))
     for o in outs[1:]:
         np.testing.assert_allclose(o, outs[0], rtol=2e-6, atol=1e-7)
+
+
+def test_direct_frame_block_invariance(rng):
+    """frame_block (direct-path lax.map batch, a pure perf knob) must not
+    change recon_frames' values."""
+    import dataclasses
+
+    from tron_tpu.config import KernelTuning
+    from tron_tpu.recon import recon_frames
+
+    nc, nro, npe1 = 2, 32, 64
+    cfg0 = ReconConfig(
+        adjoint=True, golden_angle=True, data_undersamp=0.5, prof_slide=8,
+        backend="jnp", matmul_dtype="float32",
+    )
+    work, slide, nz = cfg0.frame_geometry(nro, npe1)
+    data = (
+        rng.standard_normal((nc, npe1, nro))
+        + 1j * rng.standard_normal((nc, npe1, nro))
+    ).astype(np.complex64)
+    d = jnp.asarray(data)
+    outs = [
+        np.asarray(recon_frames(
+            d,
+            dataclasses.replace(
+                cfg0, tuning=dataclasses.replace(KernelTuning(), frame_block=fb)
+            ),
+            work, slide, nz,
+        ))
+        for fb in (1, 4, 8)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=2e-6, atol=1e-7)

@@ -77,6 +77,11 @@ class KernelTuning:
     # bs=1 lets XLA accumulate the carried grid in place), so the default
     # is the degenerate block
     inc_block: int = 1
+    # direct path: frames per lax.map step in recon_frames.  Same story as
+    # inc_block (chip-measured monotone: 308.9/304.1/301.8/295.3/289.1
+    # Msamp/s at 1/2/4/8/16 — vmapping B frames materializes B full
+    # k-space grids with zero dispatch to amortize), so default 1
+    frame_block: int = 1
     # megacore portability: re-run the operand-scratch scrub at every tile's
     # first chunk step (k == 0) instead of once per grid.  The one-time
     # scrub assumes a single TensorCore executes the whole grid (true on
@@ -123,6 +128,7 @@ class KernelTuning:
             vmem_budget=gi("TRON_VMEM_BUDGET", d.vmem_budget),
             koosh_batch=gi("TRON_KOOSH_BATCH", d.koosh_batch),
             inc_block=gi("TRON_INC_BS", d.inc_block),
+            frame_block=gi("TRON_FRAME_BS", d.frame_block),
             center_tile=gi("TRON_CT", d.center_tile),
             batched=gi("TRON_BATCHED", 1 if d.batched else 0) != 0,
             scrub_per_tile=gi(

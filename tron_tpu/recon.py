@@ -104,14 +104,16 @@ def recon_frames(
             angles = spoke_angles(npe1work, scheme, cfg.skip_angles + skip0 + pe0)
             return _combine(nufft_adjoint_planes(win, angles, cfg), cfg)
 
-        return jax.lax.map(one_p, jnp.arange(nz), batch_size=min(nz, 8))
+        fb = max(1, cfg.kernel_tuning(nxos).frame_block)
+        return jax.lax.map(one_p, jnp.arange(nz), batch_size=min(nz, fb))
 
     def one(z):
         pe0 = z * prof_slide
         win = jax.lax.dynamic_slice_in_dim(data, pe0, npe1work, axis=-2)
         return reconstruct_frame(win, cfg.skip_angles + skip0 + pe0, cfg)
 
-    return jax.lax.map(one, jnp.arange(nz), batch_size=min(nz, 8))
+    fb = max(1, cfg.kernel_tuning(int((nro // 2) * cfg.gridos)).frame_block)
+    return jax.lax.map(one, jnp.arange(nz), batch_size=min(nz, fb))
 
 
 def incremental_applicable(cfg: ReconConfig, work: int, slide: int, nz: int) -> bool:

@@ -471,7 +471,8 @@ def main():
                 def one(zimg):
                     return nufft_forward(zimg * s, angles, cfg, nro=nro)
 
-                return jax.lax.map(one, stack, batch_size=8)
+                fb = max(1, cfg.kernel_tuning(nro).frame_block)
+                return jax.lax.map(one, stack, batch_size=fb)
 
             def run(s):
                 out = fwd(imgs, jnp.float32(s))

@@ -158,7 +158,10 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
             total = jax.lax.psum(part, "coil")
             return jnp.sqrt(total).astype(coilimg.dtype)
 
-        return jax.lax.map(one, jnp.arange(per), batch_size=min(per, 8))
+        fb = cfg.kernel_tuning(int((nro // 2) * cfg.gridos)).frame_block
+        return jax.lax.map(
+            one, jnp.arange(per), batch_size=min(per, max(1, fb))
+        )
 
     sos = cfg.coil_combine == "sos"
     shard = jax.shard_map(
@@ -310,7 +313,10 @@ def _forward_sharded_step(cfg, mesh, npe1, nro, nz, nC, ny, nx, koosh):
         return jax.lax.map(
             lambda zimg: nufft_forward(zimg, angles, cfg, nro=nro),
             stack_local,
-            batch_size=min(stack_local.shape[0], 4),
+            batch_size=min(
+                stack_local.shape[0],
+                max(1, cfg.kernel_tuning(nro).frame_block),
+            ),
         )
 
     shard = jax.shard_map(

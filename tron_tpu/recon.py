@@ -334,13 +334,15 @@ def recon_radial2d(
 
         scheme = cfg.scheme_for("forward")
 
+        fb = max(1, cfg.kernel_tuning(nro).frame_block)
+
         @jax.jit
         def fwd(stack):
             def one(zimg):
                 angles = spoke_angles(npe1, scheme, cfg.skip_angles)
                 return nufft_forward(zimg, angles, cfg, nro=nro)
 
-            return jax.lax.map(one, stack, batch_size=min(nz, 4))
+            return jax.lax.map(one, stack, batch_size=min(nz, fb))
 
         out = to_host(fwd(imgs))  # (nz, nc*nt, npe1, nro)
         return out.reshape(nz, nc, nt, npe1, nro)
@@ -678,7 +680,7 @@ def _koosh_forward_device(stack, cfg2, npe1, nro):
     data = jax.lax.map(
         lambda zimg: nufft_forward(zimg, angles, cfg2, nro=nro),
         stack,
-        batch_size=min(nz, 4),
+        batch_size=min(nz, max(1, cfg2.kernel_tuning(nro).frame_block)),
     )                                      # (nz, nc*nt, npe1, nro)
     data = jnp.moveaxis(data, 0, -1)
     kz = jnp.fft.fftshift(

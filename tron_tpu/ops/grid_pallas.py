@@ -144,14 +144,17 @@ def _store_a(a_scr, p, win, A, mm_dtype, lo_scr=None, hi0=0, lo0=0):
         )
 
 
-def _kb_taylor_coeffs(kernwidth: float, beta: float, degree: int = 9):
+@functools.lru_cache(maxsize=32)
+def _kb_taylor_coeffs(kernwidth: float, beta: float, degree: int | None = None):
     """Static coefficients of KB(x) = 0.5/kw * I0(beta*sqrt(q)), q = 1-(x/kw)^2,
     as a plain polynomial in q (I0(beta*sqrt(q)) is entire in q).
 
     Uses a relative-error-weighted least-squares fit over q in [0, 1]
-    (runs at trace time; beta is static): degree 9 reaches <4e-7 relative
-    for beta <= 9.4 — fewer Horner terms than the Taylor series at the same
-    accuracy, no division, exactly what the VPU wants.  Falls back to the
+    (runs at trace time; beta is static) — fewer Horner terms than the
+    Taylor series at the same accuracy, no division, exactly what the VPU
+    wants.  The degree adapts to beta: it is the smallest in 9..16 whose
+    max relative error is <1e-7 (degree 9 suffices for beta <= 9.4, i.e.
+    kernwidth 2; kernwidth 3's beta = 14.04 needs 13).  Falls back to the
     exact Taylor coefficients if scipy is unavailable.
     """
     import numpy as np
@@ -162,9 +165,13 @@ def _kb_taylor_coeffs(kernwidth: float, beta: float, degree: int = 9):
 
         q = np.linspace(0.0, 1.0, 2001)
         target = i0(beta * np.sqrt(q))
-        V = np.vander(q, degree + 1, increasing=True) / target[:, None]
-        c, *_ = np.linalg.lstsq(V, np.ones_like(q), rcond=None)
-        return tuple(float(f * ck) for ck in c)
+        degrees = (degree,) if degree is not None else range(9, 17)
+        for deg in degrees:
+            V = np.vander(q, deg + 1, increasing=True) / target[:, None]
+            c, *_ = np.linalg.lstsq(V, np.ones_like(q), rcond=None)
+            rel = np.max(np.abs(V @ c - 1.0))
+            if rel < 1e-7 or deg == 16 or degree is not None:
+                return tuple(float(f * ck) for ck in c)
     except Exception:
         import math
 

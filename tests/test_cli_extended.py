@@ -481,3 +481,57 @@ def test_stream_walsh_and_cgnr(tmp_path, rng):
         assert main(args + [str(b), "--stream"]) == 0
         assert ra_query(a).dims == ra_query(b).dims
         np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-4, atol=1e-5)
+
+
+def test_stream_koosh_matches_in_memory(tmp_path, rng):
+    """-3 --stream: the npe1-blocked streamed stack-of-stars driver must
+    write the same file as the in-memory -3 path (slice-major frame order,
+    region writes)."""
+    nc, nro, npe1, npe2 = 2, 32, 72, 3
+    d = (rng.standard_normal((nc, 1, nro, npe1, npe2)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, npe2))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-3", "-u", "0.5", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    ha, hb = ra_query(a), ra_query(b)
+    assert ha.dims == hb.dims == (1, 1, 16, 16, npe2 * 4)
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-5, atol=1e-6)
+
+
+def test_stream_koosh_half(tmp_path, rng):
+    """-3 --stream --half: f16 re/im-pair region writes must match the
+    in-memory -3 --half file exactly."""
+    nc, nro, npe1, npe2 = 2, 32, 48, 4
+    d = (rng.standard_normal((nc, 1, nro, npe1, npe2)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, npe2))).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-3", "-u", "0.5", "--half", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    ha, hb = ra_query(a), ra_query(b)
+    assert ha.dims == hb.dims and ha.dims[0] == 2
+    assert ha.dtype == np.float16
+    np.testing.assert_array_equal(ra_read(a), ra_read(b))
+
+
+def test_stream_koosh_fp16_pair_input(tmp_path, rng):
+    """-3 --stream over an fp16 re/im-pair input (the --half output
+    convention): the stride-aware stack reader must decode it the same as
+    the in-memory path."""
+    nc, nro, npe1, npe2 = 2, 32, 48, 3
+    d = (rng.standard_normal((nc, 1, nro, npe1, npe2)) +
+         1j * rng.standard_normal((nc, 1, nro, npe1, npe2))).astype(np.complex64)
+    pair = np.stack([d.real, d.imag]).astype(np.float16)
+    p = tmp_path / "d16.ra"
+    ra_write(pair, p)
+    a, b = tmp_path / "a.ra", tmp_path / "b.ra"
+    args = ["-a", "-G", "-3", "-u", "0.5", str(p)]
+    assert main(args + [str(a)]) == 0
+    assert main(args + [str(b), "--stream"]) == 0
+    assert ra_query(a).dims == ra_query(b).dims
+    np.testing.assert_allclose(ra_read(a), ra_read(b), rtol=2e-5, atol=1e-6)

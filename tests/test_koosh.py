@@ -93,3 +93,52 @@ def test_stack_of_stars_sharded_matches_local(rng):
     got = np.asarray(recon_stack_of_stars_sharded(d5, cfg, mesh))
     assert got.shape == want.shape == (nzs, 1, n, n)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_koosh_streaming_matches_in_memory(tmp_path, rng):
+    """-3 --stream driver: npe1-blocked profile windows at all kz encodings
+    (io.native.ra_read_profiles_stack) must equal the in-memory koosh recon
+    across multiple frame windows incl. the realigned tail, with the
+    golden-angle skip0 threaded so absolute profile indices survive the
+    windowing."""
+    from tron_tpu.io import ra_write
+    from tron_tpu.recon import recon_koosh_streaming
+
+    nc, nt, nro, npe1, npe2 = 2, 1, 32, 120, 3
+    d5 = (
+        rng.standard_normal((nc, nt, nro, npe1, npe2))
+        + 1j * rng.standard_normal((nc, nt, nro, npe1, npe2))
+    ).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d5, p)
+    cfg = ReconConfig(
+        koosh=True, adjoint=True, golden_angle=True, data_undersamp=0.5
+    )
+    want = recon_radial2d(d5, cfg)  # (npe2*nzi, nt, n, n), nzi=7
+    got = recon_koosh_streaming(p, cfg, batch_frames=3)  # windows 0,3,4
+    assert got.shape == want.shape == (npe2 * 7, nt, 16, 16)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_koosh_streaming_kz_blocks(tmp_path, rng, monkeypatch):
+    """Several kz-slice blocks per profile window (npe2 > block size, with
+    the realigned overlapping tail block) — forced via TRON_KOOSH_BATCH=1
+    so nb = 8 < npe2 = 12."""
+    from tron_tpu.io import ra_write
+    from tron_tpu.recon import recon_koosh_streaming
+
+    monkeypatch.setenv("TRON_KOOSH_BATCH", "1")
+    nc, nt, nro, npe1, npe2 = 2, 2, 32, 32, 12
+    d5 = (
+        rng.standard_normal((nc, nt, nro, npe1, npe2))
+        + 1j * rng.standard_normal((nc, nt, nro, npe1, npe2))
+    ).astype(np.complex64)
+    p = tmp_path / "d.ra"
+    ra_write(d5, p)
+    cfg = ReconConfig(
+        koosh=True, adjoint=True, golden_angle=True, data_undersamp=0.5
+    )
+    want = recon_radial2d(d5, cfg)  # nzi = 2
+    got = recon_koosh_streaming(p, cfg, batch_frames=8)
+    assert got.shape == want.shape == (npe2 * 2, nt, 16, 16)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)

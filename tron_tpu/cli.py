@@ -85,11 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "partial grids psum over a 'spoke' mesh axis)")
     p.add_argument("--stream", action="store_true",
                    help="stream profile windows from disk instead of loading "
-                   "the whole acquisition (adjoint 2D recon, any nt, "
+                   "the whole acquisition (adjoint recon, any nt, "
                    "complex/float/fp16-pair inputs; the native windowed .ra "
                    "reader feeds one compiled frame-batch program block by "
                    "block, with pipelined readback written straight to the "
-                   "output file)")
+                   "output file).  With -3, streams npe1 profile windows at "
+                   "all kz encodings (kz itself cannot stream: the kz IFFT "
+                   "mixes every npe2 encoding of a sample)")
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default="img_tron.ra")
     return p
@@ -214,6 +216,51 @@ def _stream_to_file(args, cfg, hdr, smesh) -> int:
     return 0
 
 
+def _stream_koosh_to_file(args, cfg, hdr) -> int:
+    """`-3 --stream`: npe1-blocked streamed stack-of-stars adjoint.  Each
+    readback block is a contiguous run of output frames of ONE kz slice
+    (slice-major frame order, identical to the in-memory -3 output), so it
+    region-writes straight into the output .ra."""
+    import dataclasses
+
+    from tron_tpu.io import RaWriter
+    from tron_tpu.io.native import radial_dims
+    from tron_tpu.recon import recon_koosh_streaming
+
+    nc, nt, nro, npe1, npe2, _pair = radial_dims(hdr)
+    cfg2 = dataclasses.replace(cfg, koosh=False, prof_slide=0)
+    _, _, nzi = cfg2.frame_geometry(nro, npe1)
+    n = nro // 2
+    nz = npe2 * nzi
+    nc_out = nc if cfg.coil_combine == "none" else 1
+    base_dims = (nc_out, nt, n, n, nz)
+    dims = (2, *base_dims) if args.half else base_dims
+    dtype = np.float16 if args.half else np.complex64
+    frame_elems = int(np.prod(dims[:-1]))
+
+    w = RaWriter(args.outfile, dims, dtype)
+
+    def writer(z0, blk):
+        # blk: (bfr, nt, [nc,] ny, nx) complex64 — cast to the f16 pair
+        # convention host-side when --half (value-exact: the device-side
+        # f16 readback already quantized)
+        if args.half:
+            blk = np.stack([blk.real, blk.imag]).astype(np.float16)
+        w.write_at(z0 * frame_elems, _block_to_disk_order(blk, args.half))
+
+    try:
+        recon_koosh_streaming(args.infile, cfg, writer=writer, half=args.half)
+    except ValueError as e:
+        w.abort()
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except BaseException:
+        w.abort()
+        raise
+    w.close()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -254,18 +301,24 @@ def main(argv=None) -> int:
         print(f"note: --incremental ignored ({why} uses the direct path)")
 
     # --stream composes with --shard (each disk block's frame batch runs
-    # through the sharded scheduler); --shard-spokes stays in-memory
+    # through the sharded scheduler); --shard-spokes stays in-memory.
+    # -3 --stream gets its own npe1-blocked driver (kz can't stream — the
+    # IFFT mixes all npe2 per sample — but profiles can, exactly).
+    koosh_stream = (
+        args.stream and cfg.adjoint and cfg.koosh
+        and not args.shard and not args.shard_spokes
+    )
     stream = (
         args.stream and cfg.adjoint and not cfg.koosh and not args.shard_spokes
     )
-    if args.stream and not stream:
+    if args.stream and not stream and not koosh_stream:
         why = (
             "--shard-spokes" if args.shard_spokes
-            else "-3/koosh" if cfg.koosh
+            else "-3 --shard" if cfg.koosh
             else "forward mode"
         )
         print(f"note: --stream ignored ({why} loads the input in memory)")
-    if stream:
+    if stream or koosh_stream:
         # streaming path: only the header is read here; profile windows are
         # pulled from disk block by block inside the recon driver
         from tron_tpu.io import ra_query
@@ -285,7 +338,7 @@ def main(argv=None) -> int:
         except (FileNotFoundError, ValueError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
-    if not stream and not np.iscomplexobj(indata):
+    if not (stream or koosh_stream) and not np.iscomplexobj(indata):
         # float inputs: a leading dim of 2 is the re/im-pair convention of
         # the MATLAB raread/rawrite twins (src/raread.m:25-57); anything
         # else is promoted to complex (covers the fp16 storage path)
@@ -295,7 +348,7 @@ def main(argv=None) -> int:
             ).astype(np.complex64)
         else:
             indata = indata.astype(np.complex64)
-    if not stream:
+    if not (stream or koosh_stream):
         if indata.ndim != 5:
             print(
                 f"error: expected 5-D .ra input, got {indata.ndim}-D",
@@ -325,7 +378,12 @@ def main(argv=None) -> int:
     )
     start = time.perf_counter()
     with prof:
-        if stream:
+        if koosh_stream:
+            rc = _stream_koosh_to_file(args, cfg, hdr)
+            if rc != 0:
+                return rc
+            out = None
+        elif stream:
             smesh = None
             if args.shard:
                 from tron_tpu.parallel import make_mesh

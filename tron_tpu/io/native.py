@@ -195,12 +195,20 @@ def ra_read_profiles(path, pe0: int, npe: int) -> np.ndarray:
     2; the pair stride is accounted for in the per-profile seek).
     """
     hdr = _py.ra_query(path)
-    nc, nt, nro, _, _, pair = radial_dims(hdr)
+    out, nc, nt, nro, pair = _read_profile_window(path, hdr, pe0, npe)
+    return _decode_profile_window(out, npe, nc, nt, nro, pair, hdr.dtype)
+
+
+def _read_profile_window(path, hdr, pe0: int, npe: int, pe2: int = 0):
+    """Raw window read of profiles [pe0, pe0+npe) of kz-slice ``pe2``:
+    returns (flat elements, nc, nt, nro, pair).  One contiguous region per
+    call — profiles are the second-slowest on-disk axis (npe2 slowest)."""
+    nc, nt, nro, npe1, _, pair = radial_dims(hdr)
     unit = 2 if pair else 1
     dtype = hdr.dtype
     per = unit * nc * nt * nro                     # elements per profile
     stride = per * dtype.itemsize                  # bytes per profile
-    offset = pe0 * stride
+    offset = (pe2 * npe1 + pe0) * stride
     count = npe * stride
     out = np.empty(npe * per, dtype=dtype)
     if ensure_native():
@@ -218,6 +226,10 @@ def ra_read_profiles(path, pe0: int, npe: int) -> np.ndarray:
             f.seek(hdr.data_offset + offset)
             buf = f.read(count)
         out = np.frombuffer(buf, dtype=dtype).copy()
+    return out, nc, nt, nro, pair
+
+
+def _decode_profile_window(out, npe, nc, nt, nro, pair, dtype):
     if pair:
         # on-disk order: re/im fastest, then nc, nt, nro, npe
         w = out.reshape(npe, nro, nt, nc, 2).astype(np.float32)
@@ -228,6 +240,24 @@ def ra_read_profiles(path, pe0: int, npe: int) -> np.ndarray:
     if not np.issubdtype(dtype, np.complexfloating):
         arr = arr.astype(np.complex64)
     return arr
+
+
+def ra_read_profiles_stack(path, pe0: int, npe: int) -> np.ndarray:
+    """Stream a profile window of a 3-D stack-of-stars .ra at EVERY kz
+    encoding: returns complex (nc, nt, nro, npe, npe2) for profiles
+    [pe0, pe0+npe) — the windowed loader behind streamed `-3` recon.
+
+    npe2 is the slowest on-disk axis, so this is one contiguous region
+    read per kz encoding (npe2 seeks); complex, plain-float, and
+    fp16-pair files all work (same decode as ra_read_profiles).
+    """
+    hdr = _py.ra_query(path)
+    _, _, _, _, npe2, _ = radial_dims(hdr)
+    planes = []
+    for pe2 in range(npe2):
+        out, nc, nt, nro, pair = _read_profile_window(path, hdr, pe0, npe, pe2)
+        planes.append(_decode_profile_window(out, npe, nc, nt, nro, pair, hdr.dtype))
+    return np.stack(planes, axis=-1)
 
 
 def ra_write_region(path, byte_offset: int, buf: np.ndarray) -> bool:

@@ -610,16 +610,19 @@ def _koosh_kz_ifft(d, npe2):
     jax.jit,
     static_argnames=("cfg2", "work", "slide", "nzi", "nt", "nc", "bs", "nb"),
 )
-def _koosh_slice_block(sl, b0, cfg2, work, slide, nzi, nt, nc, bs, nb):
+def _koosh_slice_block(sl, b0, cfg2, work, slide, nzi, nt, nc, bs, nb, skip0=0):
     """One pipelined block of ``nb`` kz slices starting at traced offset
     ``b0``: (npe2, nt*nc, npe1, nro) -> (nb, nzi, nt, [nc,] n, n).  All
-    blocks share one compiled program (b0 is traced; the tail realigns)."""
+    blocks share one compiled program (b0 is traced; the tail realigns).
+    ``skip0`` is the traced global profile offset of sl[..., 0, :] — the
+    streamed -3 driver feeds overlapping npe1 windows through this same
+    program by varying it (recon_frames contract)."""
     blk = jax.lax.dynamic_slice_in_dim(sl, b0, nb, axis=0)
     blk = blk.reshape(nb, nt, nc, blk.shape[-2], blk.shape[-1])
 
     def per_slice(sd):                     # (nt, nc, npe1, nro)
         return jax.lax.map(
-            lambda dd: recon_frames(dd, cfg2, work, slide, nzi), sd
+            lambda dd: recon_frames(dd, cfg2, work, slide, nzi, skip0), sd
         )                                  # (nt, nzi, [nc,] n, n)
 
     out = jax.lax.map(per_slice, blk, batch_size=min(nb, bs))
@@ -669,6 +672,103 @@ def _koosh_adjoint_pipelined(
         while pending:
             drain(*pending.pop(0))
     return out
+
+
+def recon_koosh_streaming(
+    path,
+    cfg: ReconConfig,
+    batch_frames: int = 8,
+    writer=None,
+    half: bool = False,
+) -> np.ndarray | None:
+    """Streamed 3-D stack-of-stars (`-3 --stream`) adjoint.
+
+    The kz IFFT mixes every npe2 encoding of a sample, so `-3` cannot
+    stream over kz — but it is POINTWISE over profiles, so streaming over
+    npe1 is exact: each disk block is the profile window covering
+    ``batch_frames`` in-plane frames at ALL npe2 encodings
+    (io.native.ra_read_profiles_stack — one contiguous region read per kz
+    encoding), kz-IFFT'd on device per block, then slice blocks run the
+    SAME compiled program as the in-memory path (_koosh_slice_block) with
+    the block's global profile offset threaded as skip0.
+
+    Memory: host holds ~2 profile windows of nc*nt*nro*npe2 complex
+    samples instead of the whole acquisition — for a reference-scale
+    stack (6 x 512 x 20271 x 32 = 15.9 GB) a bf=8 window is ~630 MB.
+
+    ``writer(z0, blk)``: called with CONTIGUOUS output-frame runs — frames
+    are slice-major ((b, z) -> b*nzi + z, matching the in-memory output
+    and the .ra frame axis), so each (slice, frame-window) pair lands as
+    one region; tail blocks realign on both axes (legal rewrites).
+    Without ``writer``, returns (npe2*nzi, nt, [nc,] n, n) complex64 —
+    bit-comparable to the in-memory `-3` output.
+
+    ``half``: f16 device-side readback (halved D2H bytes; exact under a
+    later --half store) — blocks always reach the writer as complex64.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tron_tpu.io import ra_query
+    from tron_tpu.io.native import ra_read_profiles_stack, radial_dims
+
+    hdr = ra_query(path)
+    nc, nt, nro, npe1, npe2, _pair = radial_dims(hdr)
+    if not cfg.adjoint or not cfg.koosh:
+        raise ValueError("recon_koosh_streaming is the -3 adjoint driver")
+    cfg2 = dataclasses.replace(cfg, koosh=False, prof_slide=0)
+    work, slide, nzi = cfg2.frame_geometry(nro, npe1)
+
+    bf = min(batch_frames, nzi)
+    z0s = [min(z0, nzi - bf) for z0 in range(0, nzi, bf)]
+    bs = _koosh_slice_batch(cfg2, nc, nro)
+    nb = min(npe2, max(bs, 8))
+    b0s = [min(b0, npe2 - nb) for b0 in range(0, npe2, nb)]
+
+    def load(z0):
+        pe0 = z0 * slide
+        blk = ra_read_profiles_stack(path, pe0, work + (bf - 1) * slide)
+        # (nc, nt, nro, npe, npe2) -> (nt*nc, npe, nro, npe2); rank-4 keeps
+        # the axon client's transfer constraint satisfied
+        d = np.ascontiguousarray(blk.transpose(1, 0, 3, 2, 4)).reshape(
+            nt * nc, -1, nro, npe2
+        )
+        return to_device(d), pe0
+
+    full = None
+
+    def drain(z0, b0, fut):
+        nonlocal full
+        blk = fut.result()                 # (nb, bf, nt, [nc,] n, n) c64
+        if writer is not None:
+            for i in range(nb):
+                writer((b0 + i) * nzi + z0, blk[i])
+            return
+        if full is None:
+            full = np.empty((npe2 * nzi,) + blk.shape[2:], blk.dtype)
+        for i in range(nb):
+            full[(b0 + i) * nzi + z0 : (b0 + i) * nzi + z0 + bf] = blk[i]
+
+    with ThreadPoolExecutor(max_workers=1) as loader, ThreadPoolExecutor(
+        max_workers=1
+    ) as reader:
+        fut = loader.submit(load, z0s[0])
+        pending = []
+        for zi, z0 in enumerate(z0s):
+            d, pe0 = fut.result()
+            if zi + 1 < len(z0s):
+                fut = loader.submit(load, z0s[zi + 1])
+            sl = _koosh_kz_ifft(d, npe2)
+            for b0 in b0s:
+                dev = _koosh_slice_block(
+                    sl, jnp.int32(b0), cfg2, work, slide, bf, nt, nc, bs, nb,
+                    jnp.int32(pe0),
+                )
+                pending.append((z0, b0, reader.submit(_fetch_host, dev, half)))
+                while len(pending) > 1:
+                    drain(*pending.pop(0))
+        while pending:
+            drain(*pending.pop(0))
+    return full if writer is None else None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg2", "npe1", "nro"))

@@ -8,7 +8,11 @@ from tron_tpu.ops.fftops import (
 )
 from tron_tpu.ops.grid import grid_radial2d
 from tron_tpu.ops.degrid import degrid_radial2d
-from tron_tpu.ops.coil import coil_combine_sos, coil_combine_walsh
+from tron_tpu.ops.coil import (
+    coil_combine_sos,
+    coil_combine_walsh,
+    coil_combine_walsh_frames,
+)
 
 __all__ = [
     "centered_fft2",
@@ -21,4 +25,5 @@ __all__ = [
     "degrid_radial2d",
     "coil_combine_sos",
     "coil_combine_walsh",
+    "coil_combine_walsh_frames",
 ]

@@ -53,29 +53,75 @@ def coil_combine_walsh(
 
     Returns (ny, nx) complex: sum_c conj(v_c) * img_c with v the dominant
     eigenvector of the local channel covariance.
+
+    Layout: everything stays channel-leading.  The covariance is kept as
+    C*(C+1)/2 Hermitian-unique (ny, nx) planes (A[c2,c1] = conj(A[c1,c2])),
+    so the box filter and the power-iteration matvec are plain fused plane
+    ops — no (ny, nx, C, C) transposes, ~half the covariance traffic, and
+    peak memory ~(C^2/2)*ny*nx*8 B per frame instead of the 2*C^2 the old
+    pixel-trailing layout materialized.
     """
     C = coilimg.shape[0]
     if C == 1:
         return coilimg[0]
-    # covariance maps: A[c1, c2] = box(img_c1 * conj(img_c2))
-    outer = coilimg[:, None] * jnp.conj(coilimg[None, :])  # (C, C, ny, nx)
-    A = _box_filter(outer, npatch)                         # (C, C, ny, nx)
-    A = jnp.moveaxis(A, (0, 1), (-2, -1))                  # (ny, nx, C, C)
+    # Hermitian-unique covariance planes: A[c1, c2] for c1 <= c2 only.
+    pairs = [(c1, c2) for c1 in range(C) for c2 in range(c1, C)]
+    outer = jnp.stack(
+        [coilimg[c1] * jnp.conj(coilimg[c2]) for c1, c2 in pairs]
+    )                                                      # (P, ny, nx)
+    A = _box_filter(outer, npatch)                         # (P, ny, nx)
+    idx = {p: i for i, p in enumerate(pairs)}
+
+    def matvec(x):
+        # y[c1] = sum_c2 A[c1, c2] * x[c2], using A[c2,c1] = conj(A[c1,c2])
+        rows = []
+        for c1 in range(C):
+            acc = 0.0
+            for c2 in range(C):
+                a = (
+                    A[idx[(c1, c2)]]
+                    if c1 <= c2
+                    else jnp.conj(A[idx[(c2, c1)]])
+                )
+                acc = acc + a * x[c2]
+            rows.append(acc)
+        return jnp.stack(rows)
 
     # power iteration, batched over pixels (`src/tron.cu:222-253`).
-    # The all-ones start vector is derived from A (x0 = 1 + 0*A[...,0]) so
-    # it inherits A's varying-manual-axes type under shard_map (a literal
-    # jnp.ones would be 'unvarying' and fail the scan carry type check).
-    x = jnp.ones_like(A[..., 0]) + 0 * A[..., 0]           # (ny, nx, C)
+    # The all-ones start vector is derived from the input so it inherits
+    # its varying-manual-axes type under shard_map (a literal jnp.ones
+    # would be 'unvarying' and fail the scan carry type check).
+    x = jnp.ones_like(coilimg) + 0 * coilimg               # (C, ny, nx)
 
     def it(x, _):
-        y = jnp.einsum("...jk,...k->...j", A, x)
-        nrm = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2, axis=-1, keepdims=True))
+        y = matvec(x)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2, axis=0, keepdims=True))
         return y / jnp.where(nrm > 0, nrm, 1.0).astype(y.dtype), None
 
-    x, _ = jax.lax.scan(it, x, None, length=niters)
-    v = jnp.moveaxis(x, -1, 0)                             # (C, ny, nx)
+    v, _ = jax.lax.scan(it, x, None, length=niters)
     return jnp.sum(jnp.conj(v) * coilimg, axis=0)
+
+
+def coil_combine_walsh_frames(
+    stack: jnp.ndarray,
+    npatch: int = 1,
+    niters: int = 5,
+    frame_block: int = 16,
+) -> jnp.ndarray:
+    """Walsh combine over a frame stack (nz, C, ny, nx) -> (nz, ny, nx).
+
+    Chunks frames through ``lax.map(batch_size=frame_block)`` so the peak
+    covariance memory is bounded at frame_block * C*(C+1)/2 * ny * nx * 8 B
+    regardless of nz (a plain vmap over hundreds of frames used to OOM the
+    16 GB HBM at the whole-body class).
+    """
+    if stack.shape[1] == 1:
+        return stack[:, 0]
+    return jax.lax.map(
+        lambda ci: coil_combine_walsh(ci, npatch, niters),
+        stack,
+        batch_size=min(frame_block, stack.shape[0]),
+    )
 
 
 def coil_compress(data: jnp.ndarray, ncomp: int) -> jnp.ndarray:

@@ -181,6 +181,10 @@ def _sharded_step(cfg, mesh, npe1work, prof_slide, nz, nc, npe1, nro):
         # a manual in-shard gather + eigen-iteration forces onto the IFFT.)
         from tron_tpu.ops.coil import coil_combine_walsh
 
+        # frames are sharded over 'frame' here, so a plain vmap keeps frame
+        # parallelism (a lax.map chunk would serialize the sharded axis);
+        # per-device peak memory is nz/ndev frames of Hermitian-unique
+        # covariance planes.
         walsh = jax.jit(
             jax.vmap(lambda ci: coil_combine_walsh(ci, cfg.walsh_npatch)),
             out_shardings=jax.sharding.NamedSharding(mesh, P("frame", None, None)),

@@ -495,6 +495,107 @@ def main():
     if not _attempt("degrid_throughput", make_degrid(NFRAMES), RESULT):
         _attempt("degrid_throughput_fallback64", make_degrid(64), RESULT, retries=2)
 
+    # --- non-default grid oversampling (-o 1.5 / 2.5) ------------------------
+    # The reference runs any osf through the same kernel at full speed
+    # (`src/tron.cu:517`); round 4 proved the MXU kernels stay engaged at
+    # osf != 2 (parity tests) but never timed them.  Whole-body-class
+    # adjoint + forward at 128 frames each (the rate is per coil-sample, so
+    # fields are directly comparable with the osf-2 headline/degrid rates).
+    def osf_rates():
+        nz_o = 128
+        for osf in (1.5, 2.5):
+            cfg_o = dataclasses.replace(cfg, gridos=osf)
+            npe1 = work + (nz_o - 1) * slide
+            data = (
+                rng.standard_normal((nc, npe1, nro))
+                + 1j * rng.standard_normal((nc, npe1, nro))
+            ).astype(np.complex64)
+            d = to_device(data)
+
+            def run_a(x):
+                out = recon_frames(x, cfg_o, work, slide, nz_o)
+                return float(jnp.sum(jnp.abs(out)))
+
+            run_a(d)
+            run_a(d * 1.0001)
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                run_a(d * (1.0 + 0.0001 * i))
+            dt = (time.perf_counter() - t0) / reps
+            RESULT[f"adjoint_msamples_per_s_osf{str(osf).replace('.', '')}"] = (
+                round(nz_o * nc * nro * work / dt / 1e6, 2)
+            )
+
+            # forward at the same osf
+            n = nro // 2
+            angles = spoke_angles(work, "golden", 0)
+
+            @jax.jit
+            def synth(key):
+                k1, k2 = jax.random.split(key)
+                shape = (nz_o, nc, n, n)
+                return (
+                    jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape)
+                ).astype(jnp.complex64)
+
+            imgs = synth(jax.random.PRNGKey(int(osf * 10)))
+
+            @jax.jit
+            def fwd(stack, s):
+                def one(zimg):
+                    return nufft_forward(zimg * s, angles, cfg_o, nro=nro)
+
+                fb = max(1, cfg_o.kernel_tuning(nro).frame_block)
+                return jax.lax.map(one, stack, batch_size=fb)
+
+            def run_f(s):
+                return float(jnp.sum(jnp.abs(fwd(imgs, jnp.float32(s)))))
+
+            run_f(1.0)
+            run_f(1.0001)
+            t0 = time.perf_counter()
+            for i in range(reps):
+                run_f(1.0 + 0.0001 * i)
+            dt = (time.perf_counter() - t0) / reps
+            RESULT[f"degrid_msamples_per_s_osf{str(osf).replace('.', '')}"] = (
+                round(nz_o * nc * nro * work / dt / 1e6, 2)
+            )
+
+    _attempt("osf_rates", osf_rates, RESULT)
+
+    # --- non-default kernel width (-k 3) -------------------------------------
+    # The reference takes any -k at runtime (`src/tron.cu:827-828`);
+    # kw=3 widens every KB footprint band 1.5x (and bumps the in-kernel
+    # polynomial to degree 13), so the adjoint rate shows the real cost of
+    # a wider kernel on the MXU formulation.
+    def kw3_rate():
+        nz_k = 128
+        cfg_k3 = dataclasses.replace(cfg, kernwidth=3.0)
+        npe1 = work + (nz_k - 1) * slide
+        data = (
+            rng.standard_normal((nc, npe1, nro))
+            + 1j * rng.standard_normal((nc, npe1, nro))
+        ).astype(np.complex64)
+        d = to_device(data)
+
+        def run_k3(x):
+            out = recon_frames(x, cfg_k3, work, slide, nz_k)
+            return float(jnp.sum(jnp.abs(out)))
+
+        run_k3(d)
+        run_k3(d * 1.0001)
+        reps = 3
+        t0 = time.perf_counter()
+        for i in range(reps):
+            run_k3(d * (1.0 + 0.0001 * i))
+        dt = (time.perf_counter() - t0) / reps
+        RESULT["adjoint_msamples_per_s_kw3"] = round(
+            nz_k * nc * nro * work / dt / 1e6, 2
+        )
+
+    _attempt("kw3_rate", kw3_rate, RESULT)
+
     # --- CGNR seconds/iteration, pair vs Toeplitz ---------------------------
     # The marquee "we fixed it" feature (the reference's CGNR is broken,
     # `src/tron.cu:658-720`): one whole-body frame, iteration cost isolated
@@ -543,21 +644,102 @@ def main():
 
     _attempt("cgnr_cost", cgnr_cost, RESULT)
 
+    # --- CGNR as a workload: swallowing-class dynamic series ----------------
+    # The marquee fixed feature at workload level (`src/tron.cu:658-720` is
+    # broken upstream): a 137-frame swallowing-class dynamic series (nc=4,
+    # nro=256, -u 0.5 -d 21, 128 spokes/frame — ~1.6x undersampled at
+    # 128^2), reconstructed three ways on phantom-derived data with exact
+    # truth: plain adjoint, 10-iteration CGNR (degrid/grid pair), and
+    # 10-iteration CGNR --toeplitz.  Records wall time per mode AND
+    # best-scale magnitude NRMSE vs the analytic phantom, so the record
+    # shows the iterative recon actually improving the undersampled images
+    # (the Knopp promise), at what wall cost.
+    def cgnr_series():
+        from tron_tpu.phantom import birdcage_sensitivities, shepp_logan
+
+        nc_s, nro_s, npe1_s, slide_s, nz_s = 4, 256, 3000, 21, 137
+        n_s = nro_s // 2
+        cfg0 = dataclasses.replace(
+            cfg, data_undersamp=0.5, prof_slide=slide_s, niter=0,
+            toeplitz=False,
+        )
+        work_s = cfg0.npe1work(nro_s, npe1_s)  # 128
+        assert 1 + (npe1_s - work_s) // slide_s == nz_s
+
+        truth = shepp_logan(n_s)
+        img = truth[None] * birdcage_sensitivities(n_s, nc_s)
+        angles_all = spoke_angles(npe1_s, "golden", 0)
+        cfg_j = dataclasses.replace(cfg0, backend="jnp")
+        imgd = to_device(img.astype(np.complex64))
+        data_s = jax.jit(
+            lambda x: nufft_forward(x, angles_all, cfg_j, nro=nro_s)
+        )(imgd)
+
+        tmag = np.abs(truth)
+
+        def nrmse_truth(frames):
+            # best-scale magnitude NRMSE vs the analytic phantom, mean
+            # over frames (coil-combined SoS magnitudes)
+            m = np.abs(np.asarray(frames))
+            errs = []
+            for f in m:
+                a = float(np.vdot(f, tmag).real / max(np.vdot(f, f).real, 1e-30))
+                errs.append(
+                    float(np.linalg.norm(a * f - tmag) / np.linalg.norm(tmag))
+                )
+            return float(np.mean(errs))
+
+        for name, ni, tp in (
+            ("adjoint", 0, False), ("pair", 10, False), ("toeplitz", 10, True)
+        ):
+            cfgi = dataclasses.replace(cfg0, niter=ni, toeplitz=tp)
+
+            def run(s):
+                out = recon_frames(
+                    data_s * jnp.complex64(s), cfgi, work_s, slide_s, nz_s
+                )
+                return out, float(jnp.sum(jnp.abs(out)))
+
+            run(1.0)
+            run(1.0001)
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                out, _ = run(1.0 + 0.0001 * i)
+            dt = (time.perf_counter() - t0) / reps
+            RESULT[f"cgnr_series_{name}_wall_s"] = round(dt, 3)
+            RESULT[f"cgnr_series_{name}_nrmse_truth"] = round(
+                nrmse_truth(to_host(coil_sos(out))), 5
+            )
+        RESULT["cgnr_series_frames"] = nz_s
+
+    from tron_tpu.ops.coil import coil_combine_sos
+
+    def coil_sos(out):
+        # recon_frames already SoS-combines when cfg.coil_combine == "sos"
+        # (the default), so out is (nz, n, n) — passthrough kept for shape
+        # safety if a config change ever returns coil images
+        return out if out.ndim == 3 else coil_combine_sos(out, axis=1)
+
+    _attempt("cgnr_series", cgnr_series, RESULT)
+
     # --- Walsh adaptive coil combine ----------------------------------------
     # The reference carries Walsh but comments it out of the call path
     # (`src/tron.cu:270-302, 766`); here it is a live CLI mode, timed on a
     # whole-body-class batch (6 coils, 256^2) by the same slope trick
-    # (16 vs 48 frames) so dispatch/readback constants cancel.  NB the
-    # vmapped covariance is HBM-hungry (~80 MB/frame of (6,6,256,256)
-    # temps); 192 frames ran out of the 16 GB HBM, hence the small counts.
+    # (32 vs 192 frames) so dispatch/readback constants cancel.  The
+    # 192-frame upper point doubles as the memory proof: the round-4
+    # pixel-trailing covariance OOMed 16 GB HBM there; the rewritten
+    # channel-leading Hermitian-plane combine + frame chunking
+    # (coil_combine_walsh_frames) bounds peak HBM at frame_block frames.
     def walsh_cost():
-        from tron_tpu.ops.coil import coil_combine_walsh
+        from tron_tpu.ops.coil import coil_combine_walsh_frames
 
         n = nro // 2
 
         @jax.jit
         def run_w(x, s):
-            return jax.vmap(lambda ci: coil_combine_walsh(ci * s, 1))(x)
+            return coil_combine_walsh_frames(x * s, 1)
 
         def timed_at(nf):
             @jax.jit
@@ -578,10 +760,10 @@ def main():
                 run(1.0 + 0.0001 * i)
             return (time.perf_counter() - t0) / reps
 
-        t16, t48 = timed_at(16), timed_at(48)
-        slope = (t48 - t16) / 32
+        t32, t192 = timed_at(32), timed_at(192)
+        slope = (t192 - t32) / 160
         if slope <= 0:
-            raise RuntimeError(f"non-positive walsh slope: {t16:.4f} {t48:.4f}")
+            raise RuntimeError(f"non-positive walsh slope: {t32:.4f} {t192:.4f}")
         RESULT["walsh_ms_per_frame"] = round(slope * 1e3, 3)
 
     _attempt("walsh_cost", walsh_cost, RESULT)
@@ -620,19 +802,28 @@ def main():
         _, _, s_nz = _cfg_s.frame_geometry(s_nro, s_npe1)
         args = ["-a", "-G", "-u", "0.4", "-d", "21", "--stream", "--half",
                 fixture]
-        walls = []
+        # two variants, interleaved A/B so the tunnel's ~4x run-to-run rate
+        # swings hit both equally: plain --half, and --compress 3 --half
+        # (streamed SVD coil compression; its disk-only Gram pass is part
+        # of the wall).  ALL walls are recorded, not just the min — the
+        # spread is the only way to interpret a tunneled number.
+        walls, walls_c = [], []
         with tempfile.TemporaryDirectory() as td:
             out = os.path.join(td, "img.ra")
             for _ in range(2):
-                t0 = time.perf_counter()
-                rc = tron_cli.main(args + [out])
-                if rc != 0:
-                    raise RuntimeError(f"stream CLI rc={rc}")
-                walls.append(time.perf_counter() - t0)
-                if walls[-1] > 180:
-                    break  # tunnel stall window: keep the partial number
+                for acc, extra in ((walls, []), (walls_c, ["--compress", "3"])):
+                    t0 = time.perf_counter()
+                    rc = tron_cli.main(args + extra + [out])
+                    if rc != 0:
+                        raise RuntimeError(f"stream CLI rc={rc}")
+                    acc.append(time.perf_counter() - t0)
+                if walls[-1] > 180 or walls_c[-1] > 180:
+                    break  # tunnel stall window: keep the partial numbers
                     # rather than burning the watchdog budget on rep 2
         RESULT["stream_wall_s"] = round(min(walls), 2)
+        RESULT["stream_wall_s_all"] = [round(w, 2) for w in walls]
+        RESULT["stream_wall_compress3_s"] = round(min(walls_c), 2)
+        RESULT["stream_wall_compress3_s_all"] = [round(w, 2) for w in walls_c]
         RESULT["stream_fixture"] = os.path.basename(fixture)
         RESULT["stream_frames"] = s_nz
 

@@ -97,16 +97,24 @@ def measure_timings(csv_path: str) -> None:
         ).astype(np.complex64)
         d = to_device(data)
 
-        def run(x):
-            out = recon_frames(x, cfg, work, eff_slide, nz)
-            return float(jnp.sum(jnp.abs(out)))
+        # ONE fused program (scale + recon + checksum) per run: over the
+        # tunnel each eager op (d*s, abs, sum) is its own dispatch RPC, and
+        # those round trips — not compute — set the floor for the small
+        # classes (the 17-frame optic-nerve series is ~9 ms of device work)
+        @jax.jit
+        def fused(x, s):
+            out = recon_frames(x * s, cfg, work, eff_slide, nz)
+            return jnp.sum(jnp.abs(out))
 
-        run(d)  # compile
-        run(d * 1.0001)  # warm
+        def run(s):
+            return float(fused(d, jnp.float32(s)))
+
+        run(1.0)  # compile
+        run(1.0001)  # warm
         reps = 3
         t0 = time.perf_counter()
         for i in range(reps):
-            run(d * (1.0 + 0.0001 * i))
+            run(1.0 + 0.0001 * i)
         dt = (time.perf_counter() - t0) / reps
         msps = nz * nc * nro * work / dt / 1e6
         rows.append(

@@ -253,11 +253,16 @@ def ra_read_profiles_stack(path, pe0: int, npe: int) -> np.ndarray:
     """
     hdr = _py.ra_query(path)
     _, _, _, _, npe2, _ = radial_dims(hdr)
-    planes = []
+    stack = None
     for pe2 in range(npe2):
         out, nc, nt, nro, pair = _read_profile_window(path, hdr, pe0, npe, pe2)
-        planes.append(_decode_profile_window(out, npe, nc, nt, nro, pair, hdr.dtype))
-    return np.stack(planes, axis=-1)
+        plane = _decode_profile_window(out, npe, nc, nt, nro, pair, hdr.dtype)
+        if stack is None:
+            # preallocate so peak host memory is window + 1 plane, not 2x
+            # the window (reference-scale windows are ~630 MB)
+            stack = np.empty(plane.shape + (npe2,), plane.dtype)
+        stack[..., pe2] = plane
+    return stack
 
 
 def ra_write_region(path, byte_offset: int, buf: np.ndarray) -> bool:

@@ -13,6 +13,10 @@ Runs on whatever JAX platform is default (TPU when available); pass
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

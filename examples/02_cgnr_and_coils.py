@@ -16,6 +16,10 @@ and compare against the ground-truth phantom.  Usage:
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

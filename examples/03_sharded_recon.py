@@ -14,6 +14,10 @@ scales across chips.
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
 
 import numpy as np
 

@@ -26,9 +26,13 @@ Output: a markdown table (pasteable into NOTES.md) + one JSON line.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timer(fn, reps=5, warm=2):

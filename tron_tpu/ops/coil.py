@@ -30,18 +30,27 @@ def coil_combine_sos(coilimg: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
 
 def _box_filter(x: jnp.ndarray, npatch: int) -> jnp.ndarray:
     """Sum over a (2*npatch+1)^2 neighborhood with zero padding, separably,
-    on the trailing two axes."""
+    on the trailing two axes.
+
+    Implemented as 2*(k-1) shifted-slice adds rather than running-sum
+    cumsums: XLA fuses the slice+add chain into one elementwise pass,
+    whereas a lane-axis cumsum lowers to a slow sequential scan on TPU
+    (measured 20.9 ms/frame for the whole-body Walsh covariance vs ~0.5 ms
+    for this formulation).
+    """
     if npatch == 0:
         return x
     k = 2 * npatch + 1
+    H, W = x.shape[-2], x.shape[-1]
     pad = [(0, 0)] * (x.ndim - 2) + [(npatch, npatch), (npatch, npatch)]
     xp = jnp.pad(x, pad)
-    c = jnp.cumsum(xp, axis=-2)
-    c = jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (0, 0)])
-    rows = c[..., k:, :] - c[..., :-k, :]
-    c = jnp.cumsum(rows, axis=-1)
-    c = jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(0, 0), (1, 0)])
-    return c[..., :, k:] - c[..., :, :-k]
+    rows = xp[..., 0:H, :]
+    for i in range(1, k):
+        rows = rows + xp[..., i : i + H, :]
+    out = rows[..., :, 0:W]
+    for j in range(1, k):
+        out = out + rows[..., :, j : j + W]
+    return out
 
 
 def coil_combine_walsh(

@@ -42,6 +42,55 @@ def test_walsh_recovers_rank1(rng):
     np.testing.assert_allclose(np.abs(got), np.linalg.norm(s) * np.abs(m), rtol=2e-2, atol=1e-3)
 
 
+def test_walsh_matches_naive_dense(rng):
+    """The Hermitian-unique-plane formulation must match a literal per-pixel
+    dense implementation of the same algorithm (full C x C box-filtered
+    covariance, 5-step power iteration from the all-ones start, conj(v)
+    combine — `src/tron.cu:222-302`)."""
+    C, n, npatch, niters = 3, 8, 1, 5
+    coil = (
+        rng.standard_normal((C, n, n)) + 1j * rng.standard_normal((C, n, n))
+    ).astype(np.complex64)
+
+    # dense covariance via the same zero-padded box filter
+    outer = np.einsum("ayx,byx->abyx", coil, coil.conj())
+    A = np.zeros_like(outer)
+    for dy in range(-npatch, npatch + 1):
+        for dx in range(-npatch, npatch + 1):
+            src = np.zeros_like(outer)
+            ys = slice(max(0, dy), n + min(0, dy))
+            yd = slice(max(0, -dy), n + min(0, -dy))
+            xs = slice(max(0, dx), n + min(0, dx))
+            xd = slice(max(0, -dx), n + min(0, -dx))
+            src[..., yd, xd] = outer[..., ys, xs]
+            A += src
+    v = np.ones((C, n, n), np.complex64)
+    for _ in range(niters):
+        y = np.einsum("abyx,byx->ayx", A, v)
+        nrm = np.sqrt((np.abs(y) ** 2).sum(0, keepdims=True))
+        v = y / np.where(nrm > 0, nrm, 1.0)
+    want = (v.conj() * coil).sum(0)
+
+    got = np.asarray(coil_combine_walsh(jnp.asarray(coil), npatch=npatch, niters=niters))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_walsh_frames_chunking_matches_per_frame(rng):
+    """coil_combine_walsh_frames (lax.map chunked) == per-frame combine,
+    including a frame_block that does not divide nz."""
+    from tron_tpu.ops.coil import coil_combine_walsh_frames
+
+    nz, C, n = 5, 3, 8
+    stack = (
+        rng.standard_normal((nz, C, n, n)) + 1j * rng.standard_normal((nz, C, n, n))
+    ).astype(np.complex64)
+    got = np.asarray(coil_combine_walsh_frames(jnp.asarray(stack), 1, frame_block=2))
+    want = np.stack(
+        [np.asarray(coil_combine_walsh(jnp.asarray(f), 1)) for f in stack]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_walsh_single_channel(rng):
     x = (rng.standard_normal((1, 8, 8)) + 1j * rng.standard_normal((1, 8, 8))).astype(np.complex64)
     got = np.asarray(coil_combine_walsh(jnp.asarray(x)))

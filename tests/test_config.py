@@ -16,8 +16,19 @@ def test_for_geometry_256_class():
 
 def test_for_geometry_512_class_keeps_whole_body_optimum():
     base = KernelTuning()
-    for nxos in (384, 512, 640, None):
+    for nxos in (384, 512, None):
         assert KernelTuning.for_geometry(nxos) == base
+
+
+def test_for_geometry_large_grid_raises_vmem_cap():
+    # nxos > 512 (osf > 2 on 512-readout data, or 1024-readout inputs):
+    # the windowed gridder's scoped-vmem demand measured 16.26 MB at
+    # nxos=640 — over XLA's 16 MB default cap (a deterministic compile
+    # OOM), so the per-geometry default must raise it
+    for nxos in (640, 1024):
+        assert KernelTuning.for_geometry(nxos).vmem_limit >= 24 * 1024 * 1024
+    # ...while the measured-fastest default (16 MB cap) stays at <= 512
+    assert KernelTuning.for_geometry(512).vmem_limit == 0
 
 
 def test_from_env_threads_geometry(monkeypatch):

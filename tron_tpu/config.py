@@ -102,6 +102,14 @@ class KernelTuning:
         if nxos is not None and nxos <= 256:
             # 256^2 class (optic-nerve / swallowing geometries)
             return cls(ws=24)
+        if nxos is not None and nxos > 512:
+            # large oversampled grids (osf > 2 on 512-readout data, or
+            # 1024-readout acquisitions): the windowed gridder's scoped-vmem
+            # demand exceeds XLA's 16 MB default cap (measured 16.26 MB at
+            # nxos=640 — compile-time OOM), so raise it.  The cap is an XLA
+            # flag default, not hardware (v5e has 128 MB VMEM); 32 MB
+            # measured perf-neutral at the 512 geometry (NOTES round 2).
+            return cls(vmem_limit=24 * 1024 * 1024)
         return cls()
 
     @classmethod

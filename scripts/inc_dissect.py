@@ -60,8 +60,13 @@ def main():
     ).astype(np.complex64)
     d = to_device(data)
 
-    def timeit(run, reps=3):
+    def timeit(run, reps=3, tag=""):
+        t = time.perf_counter()
         run(1.0)
+        print(
+            f"[dissect] {tag}: compile+first {time.perf_counter() - t:.1f}s",
+            file=sys.stderr, flush=True,
+        )
         run(1.0001)
         t0 = time.perf_counter()
         for i in range(reps):
@@ -76,7 +81,7 @@ def main():
         r = recon_frames_incremental(d * jnp.complex64(s), cfg, work, slide, nz)
         return float(jnp.sum(jnp.abs(r)))
 
-    out["full_s"] = timeit(run_full)
+    out["full_s"] = timeit(run_full, tag="full")
     out["full_msps"] = round(samples / out["full_s"] / 1e6, 1)
 
     # --- grid-only: same scan, checksum epilogue ------------------------------
@@ -120,7 +125,7 @@ def main():
         ).sum()
 
     out["grid_only_s"] = timeit(
-        lambda s: float(grid_only(d * jnp.complex64(s)))
+        lambda s: float(grid_only(d * jnp.complex64(s))), tag="grid_only"
     )
 
     # --- epilogue-only: lax.map of epilogue+SoS over nz grids ----------------
@@ -138,7 +143,7 @@ def main():
 
         return jax.lax.map(one, jnp.arange(nz, dtype=jnp.float32)).sum()
 
-    out["epi_only_s"] = timeit(lambda s: float(epi_only(kgd, jnp.float32(s))))
+    out["epi_only_s"] = timeit(lambda s: float(epi_only(kgd, jnp.float32(s))), tag="epi_only")
 
     # --- epilogue X3 A/B ------------------------------------------------------
     # NB: DotAlgorithmPreset on COMPLEX einsum operands is silently
@@ -184,7 +189,7 @@ def main():
                 jnp.arange(nz, dtype=jnp.float32),
             ).sum()
 
-        out[f"epi_{name}_s"] = timeit(lambda s: float(epi_n(kgd, jnp.float32(s))))
+        out[f"epi_{name}_s"] = timeit(lambda s: float(epi_n(kgd, jnp.float32(s))), tag=f"epi_{name}")
 
     # accuracy of X3 vs HIGHEST on one frame (image domain, pre-abs)
     a = epi_highest(kgd, jnp.float32(1.0), 0.0)

@@ -64,3 +64,58 @@ def test_mxu_dft_pair_is_adjoint(rng):
     lhs = complex(jnp.vdot(Ax, jnp.asarray(y)))
     rhs = complex(jnp.vdot(jnp.asarray(x), Aty))
     assert abs(lhs - rhs) / abs(lhs) < 1e-5
+
+
+# --- bf16x3 dot variant (cfg.dft_dot="bf16x3") ------------------------------
+# 3 MXU passes per real dot instead of HIGHEST's 6, via the hand-decomposed
+# stacked real-plane sandwich (ops/fftops._sandwich_x3).  Accuracy target:
+# ~1e-5 relative — far below the default bf16 gridding contraction's error.
+
+
+@pytest.mark.parametrize("deapod", [True, False])
+def test_adjoint_image_mxu_bf16x3_matches_highest(rng, deapod):
+    nxos, n, kw = 128, 64, 2.0
+    beta = kb_beta(kw, 2.0)
+    K = (
+        rng.standard_normal((3, nxos, nxos))
+        + 1j * rng.standard_normal((3, nxos, nxos))
+    ).astype(np.complex64)
+    ref = adjoint_image_mxu(jnp.asarray(K), n, kw, beta, deapod, dot="highest")
+    got = adjoint_image_mxu(jnp.asarray(K), n, kw, beta, deapod, dot="bf16x3")
+    err = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert err < 2e-4, err
+
+
+@pytest.mark.parametrize("deapod", [True, False])
+def test_forward_kspace_mxu_bf16x3_matches_highest(rng, deapod):
+    nxos, n, kw = 128, 64, 2.0
+    beta = kb_beta(kw, 2.0)
+    img = (
+        rng.standard_normal((2, n, n)) + 1j * rng.standard_normal((2, n, n))
+    ).astype(np.complex64)
+    ref = forward_kspace_mxu(jnp.asarray(img), nxos, kw, beta, deapod, dot="highest")
+    got = forward_kspace_mxu(jnp.asarray(img), nxos, kw, beta, deapod, dot="bf16x3")
+    err = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert err < 2e-4, err
+
+
+def test_solver_pins_dft_dot_to_highest(rng):
+    """cgnr_radial2d with cfg.dft_dot='bf16x3' must behave identically to
+    'highest' — the solver pins the knob so the operator pair stays an exact
+    adjoint pair (solver.cgnr_radial2d)."""
+    import dataclasses
+
+    from tron_tpu.config import ReconConfig
+    from tron_tpu.solver import cgnr_radial2d
+    from tron_tpu.trajectory import spoke_angles
+
+    nro, npe, nc = 32, 24, 2
+    cfg = ReconConfig(angle_scheme="linear_full", adjoint=True)
+    angles = spoke_angles(npe, "linear_full", 0)
+    data = (
+        rng.standard_normal((nc, npe, nro)) + 1j * rng.standard_normal((nc, npe, nro))
+    ).astype(np.complex64)
+    a = cgnr_radial2d(jnp.asarray(data), angles, cfg, niter=3)
+    cfg3 = dataclasses.replace(cfg, dft_dot="bf16x3")
+    b = cgnr_radial2d(jnp.asarray(data), angles, cfg3, niter=3)
+    assert float(jnp.max(jnp.abs(a - b))) == 0.0

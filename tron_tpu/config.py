@@ -198,6 +198,13 @@ class ReconConfig:
                                      # two) | "float32"; fp32 accum always
                                      # (XLA's own TPU einsum default is
                                      # also 1-pass bf16)
+    dft_dot: str = "highest"     # MXU DFT epilogue/prologue dot algorithm:
+                                 # "highest" (fp32-grade, 6 bf16 passes per
+                                 # real dot) | "bf16x3" (3 passes, ~1e-5
+                                 # relative — below the default bf16
+                                 # gridding error; the CGNR solver always
+                                 # uses "highest" so the operator pair
+                                 # stays exactly adjoint)
     pe_chunk: int = 8            # spokes processed per inner step in the jnp gridder
     tuning: KernelTuning | None = None  # Pallas kernel tuning; None = defaults
                                         # with TRON_* env overrides (from_env)

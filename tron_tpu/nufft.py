@@ -107,7 +107,9 @@ def _adjoint_epilogue(kgrid, n, cfg, beta):
     ~3e-7 and the literal adjoint of the forward prologue)."""
     nxos = kgrid.shape[-1]
     if _on_tpu() and nxos <= _MXU_DFT_MAX:
-        return adjoint_image_mxu(kgrid, n, cfg.kernwidth, beta, cfg.deapodize)
+        return adjoint_image_mxu(
+            kgrid, n, cfg.kernwidth, beta, cfg.deapodize, dot=cfg.dft_dot
+        )
     img = centered_ifft2_unnormalized(kgrid)
     img = crop_center(img, n)
     if cfg.deapodize:
@@ -268,7 +270,9 @@ def nufft_forward(
     if _on_tpu() and nxos <= _MXU_DFT_MAX:
         # pad + deapod + centered FFT as two MXU matmuls (the conjugate
         # transpose of the adjoint epilogue; see _adjoint_epilogue)
-        kgrid = forward_kspace_mxu(img, nxos, cfg.kernwidth, beta, cfg.deapodize)
+        kgrid = forward_kspace_mxu(
+            img, nxos, cfg.kernwidth, beta, cfg.deapodize, dot=cfg.dft_dot
+        )
     else:
         x = pad_center(img, nxos)
         if cfg.deapodize:

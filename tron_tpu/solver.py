@@ -217,6 +217,13 @@ def cgnr_radial2d(
 
     import dataclasses
 
+    if cfg.dft_dot != "highest":
+        # the operator pair must stay an exact adjoint pair (the dot test the
+        # whole solver rests on); the bf16x3 epilogue is not the bit-exact
+        # transpose of the bf16x3 prologue, so the solver always runs the MXU
+        # DFT sandwich at HIGHEST regardless of the recon-path knob.
+        cfg = dataclasses.replace(cfg, dft_dot="highest")
+
     if operators == "auto" and cfg.toeplitz:
         operators = "toeplitz"  # honor the config flag for direct callers
     toeplitz = operators == "toeplitz"

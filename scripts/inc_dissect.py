@@ -32,6 +32,12 @@ INTERPRET = os.environ.get("DISSECT_INTERPRET", "0") == "1"  # CPU smoke runs
 
 def main():
     import jax
+
+    if INTERPRET:
+        # CPU smoke: the axon plugin overrides JAX_PLATFORMS=cpu from the
+        # environment, so pin the platform before first backend use
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from tron_tpu.config import ReconConfig
@@ -167,18 +173,11 @@ def main():
         )
         return jnp.abs(coil_combine_sos(img, axis=0))
 
-    X3 = jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
-
     def epi_x3(kg, s, z):
+        # the production decomposition (fftops._sandwich_x3), not a local
+        # re-derivation — the A/B must measure what the pipeline would run
         kgz = kg * (s + 1e-6 * z)
-        P = jnp.einsum("yv,cvu->cyu", Mstack, kgz.real, precision=X3)
-        Q = jnp.einsum("yv,cvu->cyu", Mstack, kgz.imag, precision=X3)
-        tr = P[:, :n] - Q[:, n:]
-        ti = Q[:, :n] + P[:, n:]
-        t2 = jnp.concatenate([tr, ti], axis=1)              # (C, 2n, nxos)
-        R = jnp.einsum("cyu,xu->cyx", t2, M.real, precision=X3)
-        S = jnp.einsum("cyu,xu->cyx", t2, M.imag, precision=X3)
-        img = (R[:, :n] - S[:, n:]) + 1j * (S[:, :n] + R[:, n:])
+        img = fftops._sandwich_x3(kgz, M, M)
         return jnp.abs(coil_combine_sos(img, axis=0))
 
     for name, fn in (("highest", epi_highest), ("x3", epi_x3)):

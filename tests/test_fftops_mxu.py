@@ -99,23 +99,39 @@ def test_forward_kspace_mxu_bf16x3_matches_highest(rng, deapod):
     assert err < 2e-4, err
 
 
-def test_solver_pins_dft_dot_to_highest(rng):
+def test_solver_pins_dft_dot_to_highest(rng, monkeypatch):
     """cgnr_radial2d with cfg.dft_dot='bf16x3' must behave identically to
     'highest' — the solver pins the knob so the operator pair stays an exact
-    adjoint pair (solver.cgnr_radial2d)."""
+    adjoint pair (solver.cgnr_radial2d).
+
+    dft_dot only takes effect inside the _on_tpu() MXU-DFT gate, so the
+    gate is forced open here (backend='jnp' keeps the gridders on the dense
+    XLA path, which is platform-independent) — on the bare CPU path the two
+    configs would trace to identical programs and the test would be vacuous.
+    The sanity check below proves the forced gate makes the knob observable
+    in the plain recon path, i.e. that the solver equality is a real pin."""
     import dataclasses
 
+    from tron_tpu import nufft
     from tron_tpu.config import ReconConfig
     from tron_tpu.solver import cgnr_radial2d
     from tron_tpu.trajectory import spoke_angles
 
+    monkeypatch.setattr(nufft, "_on_tpu", lambda: True)
+
     nro, npe, nc = 32, 24, 2
-    cfg = ReconConfig(angle_scheme="linear_full", adjoint=True)
+    cfg = ReconConfig(angle_scheme="linear_full", adjoint=True, backend="jnp")
     angles = spoke_angles(npe, "linear_full", 0)
     data = (
         rng.standard_normal((nc, npe, nro)) + 1j * rng.standard_normal((nc, npe, nro))
     ).astype(np.complex64)
-    a = cgnr_radial2d(jnp.asarray(data), angles, cfg, niter=3)
     cfg3 = dataclasses.replace(cfg, dft_dot="bf16x3")
+
+    # sanity: with the gate open, the knob is observable OUTSIDE the solver
+    pa = nufft.nufft_adjoint(jnp.asarray(data), angles, cfg)
+    pb = nufft.nufft_adjoint(jnp.asarray(data), angles, cfg3)
+    assert float(jnp.max(jnp.abs(pa - pb))) > 0.0
+
+    a = cgnr_radial2d(jnp.asarray(data), angles, cfg, niter=3)
     b = cgnr_radial2d(jnp.asarray(data), angles, cfg3, niter=3)
     assert float(jnp.max(jnp.abs(a - b))) == 0.0

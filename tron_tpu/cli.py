@@ -180,13 +180,45 @@ def _block_to_disk_order(blk, half: bool):
     return np.ascontiguousarray(blk.transpose(0, 3, 4, 1, 2))
 
 
+def _run_streamed(args, base_dims, prep, recon_call) -> int:
+    """Shared scaffolding of the two --stream drivers: open the output .ra
+    for region writes, hand the recon driver a writer that lands each block
+    at its frame offset in on-disk element order, translate input
+    ValueErrors to a clean exit, and abort the partial file on ANY failure.
+
+    prep(blk) -> blk runs host-side per block before the layout transpose
+    (the koosh driver's --half pair cast); recon_call(writer) runs the
+    actual streamed recon."""
+    from tron_tpu.io import RaWriter
+
+    dims = (2, *base_dims) if args.half else base_dims
+    dtype = np.float16 if args.half else np.complex64
+    frame_elems = int(np.prod(dims[:-1]))
+
+    w = RaWriter(args.outfile, dims, dtype)
+
+    def writer(z0, blk):
+        w.write_at(z0 * frame_elems, _block_to_disk_order(prep(blk), args.half))
+
+    try:
+        recon_call(writer)
+    except ValueError as e:
+        w.abort()
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except BaseException:
+        w.abort()
+        raise
+    w.close()
+    return 0
+
+
 def _stream_to_file(args, cfg, hdr, smesh) -> int:
     """--stream: recon blocks land straight into their region of the output
     .ra as the device computes the next block (writer thread + RaWriter
     region writes; the output half of the reference's per-frame async D2H
     overlap, src/tron.cu:767-781).  Peak host memory is ~2 blocks instead
     of the whole nz-frame series."""
-    from tron_tpu.io import RaWriter
     from tron_tpu.io.native import radial_dims
     from tron_tpu.recon import recon_radial2d_streaming
 
@@ -196,29 +228,15 @@ def _stream_to_file(args, cfg, hdr, smesh) -> int:
     nc_out = nc if cfg.coil_combine == "none" else 1
     if cfg.coil_combine == "none" and 0 < cfg.coil_compress < nc:
         nc_out = cfg.coil_compress  # blocks carry ncomp virtual coils
-    base_dims = (nc_out, nt, n, n, nz)
-    dims = (2, *base_dims) if args.half else base_dims
-    dtype = np.float16 if args.half else np.complex64
-    frame_elems = int(np.prod(dims[:-1]))
 
-    w = RaWriter(args.outfile, dims, dtype)
-
-    def writer(z0, blk):
-        w.write_at(z0 * frame_elems, _block_to_disk_order(blk, args.half))
-
-    try:
-        recon_radial2d_streaming(
+    return _run_streamed(
+        args,
+        (nc_out, nt, n, n, nz),
+        lambda blk: blk,
+        lambda writer: recon_radial2d_streaming(
             args.infile, cfg, mesh=smesh, writer=writer, half=args.half
-        )
-    except ValueError as e:
-        w.abort()
-        print(f"error: {e}", file=sys.stderr)
-        return 1
-    except BaseException:
-        w.abort()
-        raise
-    w.close()
-    return 0
+        ),
+    )
 
 
 def _stream_koosh_to_file(args, cfg, hdr) -> int:
@@ -228,7 +246,6 @@ def _stream_koosh_to_file(args, cfg, hdr) -> int:
     region-writes straight into the output .ra."""
     import dataclasses
 
-    from tron_tpu.io import RaWriter
     from tron_tpu.io.native import radial_dims
     from tron_tpu.recon import recon_koosh_streaming
 
@@ -237,33 +254,26 @@ def _stream_koosh_to_file(args, cfg, hdr) -> int:
     _, _, nzi = cfg2.frame_geometry(nro, npe1)
     n = nro // 2
     nz = npe2 * nzi
+    # NB no coil_compress branch: the stack-of-stars drivers recon all
+    # physical coils (main() prints a note when -3 --compress is given)
     nc_out = nc if cfg.coil_combine == "none" else 1
-    base_dims = (nc_out, nt, n, n, nz)
-    dims = (2, *base_dims) if args.half else base_dims
-    dtype = np.float16 if args.half else np.complex64
-    frame_elems = int(np.prod(dims[:-1]))
 
-    w = RaWriter(args.outfile, dims, dtype)
-
-    def writer(z0, blk):
+    def prep(blk):
         # blk: (bfr, nt, [nc,] ny, nx) complex64 — cast to the f16 pair
         # convention host-side when --half (value-exact: the device-side
         # f16 readback already quantized)
         if args.half:
             blk = np.stack([blk.real, blk.imag]).astype(np.float16)
-        w.write_at(z0 * frame_elems, _block_to_disk_order(blk, args.half))
+        return blk
 
-    try:
-        recon_koosh_streaming(args.infile, cfg, writer=writer, half=args.half)
-    except ValueError as e:
-        w.abort()
-        print(f"error: {e}", file=sys.stderr)
-        return 1
-    except BaseException:
-        w.abort()
-        raise
-    w.close()
-    return 0
+    return _run_streamed(
+        args,
+        (nc_out, nt, n, n, nz),
+        prep,
+        lambda writer: recon_koosh_streaming(
+            args.infile, cfg, writer=writer, half=args.half
+        ),
+    )
 
 
 def main(argv=None) -> int:
@@ -320,10 +330,15 @@ def main(argv=None) -> int:
     if args.stream and not stream and not koosh_stream:
         why = (
             "--shard-spokes" if args.shard_spokes
-            else "-3 --shard" if cfg.koosh
-            else "forward mode"
+            else "forward mode" if not cfg.adjoint
+            else "-3 --shard"
         )
         print(f"note: --stream ignored ({why} loads the input in memory)")
+    if cfg.koosh and cfg.coil_compress:
+        # neither the in-memory nor the streamed stack-of-stars driver
+        # compresses coils (recon._recon_stack_of_stars) — say so instead
+        # of silently writing nc uncompressed coils
+        print("note: --compress ignored (-3 recons all physical coils)")
     if stream or koosh_stream:
         # streaming path: only the header is read here; profile windows are
         # pulled from disk block by block inside the recon driver
@@ -332,6 +347,19 @@ def main(argv=None) -> int:
         vprint(f"Querying {args.infile} (streaming)")
         try:
             hdr = ra_query(args.infile)
+            # same 5-D contract as the in-memory path below (which checks
+            # ndim AFTER decoding the float re/im-pair convention, so a
+            # 6-D pair file counts as 5-D here too)
+            from tron_tpu.io.native import radial_dims
+
+            _, _, _, _, _, _pair = radial_dims(hdr)
+            ndim = len(hdr.dims) - (1 if _pair else 0)
+            if ndim != 5:
+                print(
+                    f"error: expected 5-D .ra input, got {ndim}-D",
+                    file=sys.stderr,
+                )
+                return 1
         except (FileNotFoundError, ValueError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

@@ -173,11 +173,17 @@ def _kb_taylor_coeffs(kernwidth: float, beta: float, degree: int | None = None):
             if rel < 1e-7 or deg == 16 or degree is not None:
                 return tuple(float(f * ck) for ck in c)
     except Exception:
-        import math
-
-        return tuple(
-            f * (beta * beta / 4.0) ** k / math.factorial(k) ** 2 for k in range(14)
-        )
+        # no scipy: exact Taylor-in-q coefficients, term count adapted to
+        # beta (a fixed 14 terms was ~6e-4 relative at kernwidth 3's beta
+        # 14.04).  term_k = (beta^2/4)^k / (k!)^2; extend until the next
+        # term is <1e-9 of the partial sum at q=1, where the all-positive
+        # series peaks, so truncation stays ~1e-9 relative for any beta.
+        b2 = beta * beta / 4.0
+        terms = [1.0]
+        while terms[-1] > 1e-9 * sum(terms) and len(terms) < 48:
+            k = len(terms)
+            terms.append(terms[-1] * b2 / (k * k))
+        return tuple(f * t for t in terms)
 
 
 def _kb_poly(x2: jnp.ndarray, kernwidth: float, coeffs) -> jnp.ndarray:

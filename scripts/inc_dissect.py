@@ -33,6 +33,10 @@ INTERPRET = os.environ.get("DISSECT_INTERPRET", "0") == "1"  # CPU smoke runs
 def main():
     import jax
 
+    from tron_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if INTERPRET:
         # CPU smoke: the axon plugin overrides JAX_PLATFORMS=cpu from the
         # environment, so pin the platform before first backend use
@@ -50,7 +54,8 @@ def main():
     nc, slide = 6, 21
     nro = int(os.environ.get("DISSECT_NRO", "512"))
     cfg = ReconConfig(
-        golden_angle=True, data_undersamp=0.4, prof_slide=slide, adjoint=True
+        golden_angle=True, data_undersamp=0.4, prof_slide=slide, adjoint=True,
+        dft_dot=os.environ.get("DISSECT_DFT_DOT", "highest"),
     )
     work = cfg.npe1work(nro, 10**9)
     nz = NFRAMES
@@ -77,14 +82,16 @@ def main():
         t0 = time.perf_counter()
         for i in range(reps):
             run(1.0 + 0.0001 * i)
-        return (time.perf_counter() - t0) / reps
+        dt = (time.perf_counter() - t0) / reps
+        print(f"[dissect] {tag}: {dt:.5f} s", file=sys.stderr, flush=True)
+        return dt
 
     out = {"frames": nz}
     samples = nz * nc * nro * work
 
     # --- full production path ------------------------------------------------
     def run_full(s):
-        r = recon_frames_incremental(d * jnp.complex64(s), cfg, work, slide, nz)
+        r = recon_frames_incremental(d * s, cfg, work, slide, nz)
         return float(jnp.sum(jnp.abs(r)))
 
     out["full_s"] = timeit(run_full, tag="full")
@@ -131,7 +138,7 @@ def main():
         ).sum()
 
     out["grid_only_s"] = timeit(
-        lambda s: float(grid_only(d * jnp.complex64(s))), tag="grid_only"
+        lambda s: float(grid_only(d * s)), tag="grid_only"
     )
 
     # --- epilogue-only: lax.map of epilogue+SoS over nz grids ----------------
@@ -158,11 +165,10 @@ def main():
     # (stacked [Mr; Mi] so XLA sees 2 big real dots per side instead of 8).
     from tron_tpu.ops import fftops
 
-    M = jnp.asarray(
-        fftops._centered_dft_mat(n, nxos, cfg.kernwidth, beta, True)
-    )
-    Mstack = jnp.concatenate([M.real, M.imag], axis=0)      # (2n, nxos) f32
-
+    # host numpy, NOT a device array: jit embeds it as an ir constant, and
+    # fetching a complex64 device array back for that hits the axon client's
+    # unimplemented complex D2H transfer
+    M = fftops._centered_dft_mat(n, nxos, cfg.kernwidth, beta, True)
     def epi_highest(kg, s, z):
         kgz = kg * (s + 1e-6 * z)
         t = jnp.einsum(
@@ -190,12 +196,16 @@ def main():
 
         out[f"epi_{name}_s"] = timeit(lambda s: float(epi_n(kgd, jnp.float32(s))), tag=f"epi_{name}")
 
-    # accuracy of X3 vs HIGHEST on one frame (image domain, pre-abs)
-    a = epi_highest(kgd, jnp.float32(1.0), 0.0)
-    b = epi_x3(kgd, jnp.float32(1.0), 0.0)
-    out["x3_vs_highest_nrmse"] = float(
-        jnp.linalg.norm(b - a) / jnp.linalg.norm(a)
-    )
+    # accuracy of X3 vs HIGHEST on one frame (combined-magnitude domain).
+    # Jitted: eager einsum would device_put the complex numpy M, which the
+    # axon client rejects (same constraint as the ir-constant note above).
+    @jax.jit
+    def x3_err(kg):
+        a = epi_highest(kg, jnp.float32(1.0), 0.0)
+        b = epi_x3(kg, jnp.float32(1.0), 0.0)
+        return jnp.linalg.norm(b - a) / jnp.linalg.norm(a)
+
+    out["x3_vs_highest_nrmse"] = float(x3_err(kgd))
 
     for k, v in out.items():
         if isinstance(v, float):

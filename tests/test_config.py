@@ -49,3 +49,17 @@ def test_recon_config_explicit_tuning_wins(monkeypatch):
     cfg = ReconConfig(tuning=KernelTuning(ws=64))
     assert cfg.kernel_tuning(256).ws == 64
     assert ReconConfig().kernel_tuning(256).ws == 40
+
+
+def test_dft_dot_auto_resolution():
+    """"auto" follows the gridding contraction dtype: bf16x3 when gridding
+    is plain bf16 (fast mode — its ~3e-3 error dwarfs the epilogue's),
+    highest otherwise; explicit settings always win."""
+    assert ReconConfig().dft_dot_resolved() == "bf16x3"
+    assert ReconConfig(matmul_dtype="bf16x3").dft_dot_resolved() == "highest"
+    assert ReconConfig(matmul_dtype="float32").dft_dot_resolved() == "highest"
+    assert ReconConfig(dft_dot="highest").dft_dot_resolved() == "highest"
+    assert (
+        ReconConfig(dft_dot="bf16x3", matmul_dtype="float32").dft_dot_resolved()
+        == "bf16x3"
+    )

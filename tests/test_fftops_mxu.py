@@ -120,7 +120,10 @@ def test_solver_pins_dft_dot_to_highest(rng, monkeypatch):
     monkeypatch.setattr(nufft, "_on_tpu", lambda: True)
 
     nro, npe, nc = 32, 24, 2
-    cfg = ReconConfig(angle_scheme="linear_full", adjoint=True, backend="jnp")
+    cfg = ReconConfig(
+        angle_scheme="linear_full", adjoint=True, backend="jnp",
+        dft_dot="highest",  # explicit: "auto" resolves to bf16x3 in fast mode
+    )
     angles = spoke_angles(npe, "linear_full", 0)
     data = (
         rng.standard_normal((nc, npe, nro)) + 1j * rng.standard_normal((nc, npe, nro))

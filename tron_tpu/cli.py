@@ -63,11 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gridding matmul precision: fast = 1-pass bf16 "
                    "(~3e-3, same as XLA's TPU default), accurate = "
                    "compensated bf16x3 (~fp32, ~18%% slower)")
-    p.add_argument("--dft-dot", default="highest", choices=["highest", "bf16x3"],
+    p.add_argument("--dft-dot", default="auto",
+                   choices=["auto", "highest", "bf16x3"],
                    help="MXU DFT epilogue/prologue dot algorithm: highest = "
                    "fp32-grade (6 bf16 passes per real dot), bf16x3 = 3 "
                    "passes (~1e-5 relative, far below --precision fast's "
-                   "gridding error; CGNR always runs highest)")
+                   "gridding error), auto = bf16x3 in fast mode / highest "
+                   "in accurate mode (CGNR always runs highest)")
     p.add_argument("--compress", type=int, default=0, metavar="N",
                    help="SVD-compress to N virtual coils before gridding")
     p.add_argument("--toeplitz", action="store_true",

@@ -198,16 +198,26 @@ class ReconConfig:
                                      # two) | "float32"; fp32 accum always
                                      # (XLA's own TPU einsum default is
                                      # also 1-pass bf16)
-    dft_dot: str = "highest"     # MXU DFT epilogue/prologue dot algorithm:
+    dft_dot: str = "auto"        # MXU DFT epilogue/prologue dot algorithm:
                                  # "highest" (fp32-grade, 6 bf16 passes per
                                  # real dot) | "bf16x3" (3 passes, ~1e-5
-                                 # relative — below the default bf16
-                                 # gridding error; the CGNR solver always
-                                 # uses "highest" so the operator pair
-                                 # stays exactly adjoint)
+                                 # relative) | "auto" (bf16x3 when the
+                                 # gridding contraction is plain bf16 —
+                                 # whose ~3e-3 error dwarfs the epilogue's —
+                                 # else highest, so accurate mode stays
+                                 # fp32-grade end to end).  The CGNR solver
+                                 # always uses "highest" so the operator
+                                 # pair stays exactly adjoint.
     pe_chunk: int = 8            # spokes processed per inner step in the jnp gridder
     tuning: KernelTuning | None = None  # Pallas kernel tuning; None = defaults
                                         # with TRON_* env overrides (from_env)
+
+    def dft_dot_resolved(self) -> str:
+        """The dot algorithm the MXU DFT sandwich actually runs (resolves
+        "auto" against the gridding contraction dtype; see the field doc)."""
+        if self.dft_dot == "auto":
+            return "bf16x3" if self.matmul_dtype == "bfloat16" else "highest"
+        return self.dft_dot
 
     def kernel_tuning(self, nxos: int | None = None) -> KernelTuning:
         return (

@@ -108,7 +108,8 @@ def _adjoint_epilogue(kgrid, n, cfg, beta):
     nxos = kgrid.shape[-1]
     if _on_tpu() and nxos <= _MXU_DFT_MAX:
         return adjoint_image_mxu(
-            kgrid, n, cfg.kernwidth, beta, cfg.deapodize, dot=cfg.dft_dot
+            kgrid, n, cfg.kernwidth, beta, cfg.deapodize,
+            dot=cfg.dft_dot_resolved(),
         )
     img = centered_ifft2_unnormalized(kgrid)
     img = crop_center(img, n)
@@ -271,7 +272,8 @@ def nufft_forward(
         # pad + deapod + centered FFT as two MXU matmuls (the conjugate
         # transpose of the adjoint epilogue; see _adjoint_epilogue)
         kgrid = forward_kspace_mxu(
-            img, nxos, cfg.kernwidth, beta, cfg.deapodize, dot=cfg.dft_dot
+            img, nxos, cfg.kernwidth, beta, cfg.deapodize,
+            dot=cfg.dft_dot_resolved(),
         )
     else:
         x = pad_center(img, nxos)
